@@ -1,0 +1,222 @@
+"""TPU-native Pippenger MSM pipeline.
+
+Counterpart of the reference's five-stage pipeline (src/metal/msm.rs:189-217):
+
+  reference (Metal GPU + CPU)                this module (one jitted graph)
+  -------------------------------            ------------------------------
+  1. prepare_buckets_indices kernel          window_digits(): limb-aligned
+     (msm.h.metal:17-59)                     digit extraction, no pair list
+  2. CPU rayon sort (sort_buckets.rs)        lax.sort_key_val on device
+  3. bucket_wise_accumulation kernel         vectorized EC inclusive prefix
+     (msm.h.metal:61-315)                    scan over sorted points
+  4. sum_reduction kernels                   telescoped window reduction
+     (msm.h.metal:319-562)                   (identity below), no buckets
+  5. CPU final_accumulation Horner fold      on-device Horner fori_loop
+
+The bucket matrix never materializes. With points sorted by digit, let X(p)
+be the EC prefix sum of the first p sorted points and s_b the first position
+of digit b. Since bucket_b = X(s_{b+1}) - X(s_b), the window sum telescopes:
+
+    sum_{b=1}^{M} b * bucket_b  =  M * X(n) - sum_{b=1}^{M} X(s_b),   M = 2^c-1
+
+Two bonuses fall out: zero-digit points cancel automatically (they sit before
+s_1, appearing M times in M*X(n) and once in each of the M subtracted terms),
+so no sentinel filtering is needed (the reference emits/filters 0xFFFFFFFF
+sentinels, msm.h.metal:50-57); and there is no segmented accumulation at all,
+which was the reference's bug farm (the three minimized regression cases in
+bucket_wise_accumulation.rs:386-487).
+
+The prefix scan runs as `scan_lanes` independent sequential lane scans (one
+vectorized complete mixed-add per step) plus a log-depth inter-lane carry
+scan — the structural cousin of the reference's thread-sequential scan with
+boundary merge (msm.h.metal:169-297), minus the boundary special cases.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from tpu_msm.models import bn254
+from tpu_msm.ops import curve, field, u256
+from tpu_msm.ops.curve import AffinePoint, JacPoint
+from tpu_msm.utils.config import MsmConfig, select_config
+
+
+def _ceil_log2(x: int) -> int:
+    return max(0, (x - 1).bit_length())
+
+
+def window_digits(scalar_limbs, cfg: MsmConfig):
+    """(16, N) standard-form scalar limbs -> (W, N) uint32 window digits.
+
+    Stage-1 analogue (prepare_buckets_indices, msm.h.metal:17-59) — but with
+    c = 16 the digits *are* the limbs and with c = 8 they are limb halves, so
+    extraction is free; other widths use cross-limb bit extraction.
+    """
+    c = cfg.window_bits
+    w = cfg.num_windows()
+    if c == bn254.LIMB_BITS:
+        return scalar_limbs
+    if c == 8:
+        lo = scalar_limbs & jnp.uint32(0xFF)
+        hi = scalar_limbs >> jnp.uint32(8)
+        return jnp.stack([lo, hi], axis=1).reshape(w, *scalar_limbs.shape[1:])
+    return jnp.stack(
+        [u256.extract_bits(scalar_limbs, i * c, min(c, 256 - i * c)) for i in range(w)]
+    )
+
+
+def _lane_inclusive_scan(totals: JacPoint, lanes: int) -> JacPoint:
+    """Hillis–Steele inclusive EC scan across the lane axis (last axis)."""
+    lane_idx = jnp.arange(lanes)
+
+    def level(i, t):
+        sh = jnp.left_shift(jnp.int32(1), i)
+        rolled = JacPoint(*(jnp.roll(a, sh, axis=-1) for a in t))
+        added = curve.jac_add(t, rolled)
+        return curve.select_point(lane_idx >= sh, added, t)
+
+    return jax.lax.fori_loop(0, _ceil_log2(lanes), level, totals)
+
+
+def _sequential_fold(pts: JacPoint, lanes: int, steps: int) -> JacPoint:
+    """EC-sum groups of `steps` consecutive points: (16, lanes*steps) -> (16, lanes)."""
+    grouped = JacPoint(*(a.reshape(bn254.LIMBS, lanes, steps) for a in pts))
+
+    def body(k, acc):
+        nxt = JacPoint(*(a[:, :, k] for a in grouped))
+        return curve.jac_add(acc, nxt)
+
+    return jax.lax.fori_loop(0, steps, body, curve.jac_infinity((lanes,)))
+
+
+def ec_reduce(pts: JacPoint, fanout: int = 256) -> JacPoint:
+    """EC-sum of a (16, B) batch of Jacobian points -> (16, 1).
+
+    Staged sequential folds (each stage one small fori body) instead of an
+    unrolled log tree, to keep the traced graph tiny. Equivalent role to the
+    reference's two-stage sum_reduction tree (msm.h.metal:319-562).
+    """
+    b = pts.x.shape[-1]
+    b_pad = 1 << _ceil_log2(max(b, 1))
+    if b_pad != b:
+        inf = curve.jac_infinity((b_pad - b,))
+        pts = JacPoint(*(jnp.concatenate([a, i], axis=-1) for a, i in zip(pts, inf)))
+        b = b_pad
+    while b > 1:
+        f = min(b, fanout) if b > fanout else min(b, 16)
+        pts = _sequential_fold(pts, b // f, f)
+        b //= f
+    return pts
+
+
+def _msm_window(sorted_digits, sorted_idx, px, py, n: int, cfg: MsmConfig) -> JacPoint:
+    """Window sum for one window given digit-sorted order. Returns (16, 1)."""
+    c = cfg.window_bits
+    m = cfg.buckets_per_window()
+    n_pad = sorted_digits.shape[0]
+    lanes = cfg.scan_lanes
+    steps = n_pad // lanes
+
+    # Gather points into digit-sorted order (stage-2/3 boundary: the
+    # reference sorts (bucket, point_idx) pairs and binary-searches segments;
+    # we materialize the sorted point stream once).
+    gx = jnp.take(px, sorted_idx, axis=1).reshape(bn254.LIMBS, lanes, steps)
+    gy = jnp.take(py, sorted_idx, axis=1).reshape(bn254.LIMBS, lanes, steps)
+    # Scan axis must lead for lax.scan.
+    gx = jnp.moveaxis(gx, 2, 0)  # (steps, 16, lanes)
+    gy = jnp.moveaxis(gy, 2, 0)
+
+    def step(acc, pt_xy):
+        sx, sy = pt_xy
+        acc = curve.jac_add_affine(acc, AffinePoint(sx, sy))
+        return acc, acc
+
+    _, ys = jax.lax.scan(step, curve.jac_infinity((lanes,)), (gx, gy))
+    # ys: JacPoint of (steps, 16, lanes) — per-lane inclusive local scans.
+
+    totals = JacPoint(*(a[-1] for a in ys))
+    inc = _lane_inclusive_scan(totals, lanes)
+    lane_idx = jnp.arange(lanes)
+    carry = curve.select_point(
+        lane_idx >= 1,
+        JacPoint(*(jnp.roll(a, 1, axis=-1) for a in inc)),
+        curve.jac_infinity((lanes,)),
+    )  # exclusive inter-lane carries
+
+    # Bucket segment starts via histogram + exclusive cumsum (the reference
+    # binary-searches per threadgroup, msm.h.metal:119-131). Digit value 2^c
+    # is the padding sentinel and lands in the dropped last bin.
+    counts = jnp.bincount(sorted_digits, length=(1 << c) + 1)
+    cum = jnp.cumsum(counts)
+    queries = jnp.concatenate([cum[:m], jnp.full((1,), n, cum.dtype)])  # s_1..s_M, n
+
+    is_zero = queries == 0
+    pos = jnp.maximum(queries, 1) - 1
+    lq = (pos // steps).astype(jnp.int32)
+    kq = (pos % steps).astype(jnp.int32)
+    local = JacPoint(*(jnp.moveaxis(a[kq, :, lq], 0, 1) for a in ys))  # (16, M+1)
+    lane_carry = JacPoint(*(a[:, lq] for a in carry))
+    xvals = curve.jac_add(lane_carry, local)
+    xvals = curve.select_point(is_zero, curve.jac_infinity((m + 1,)), xvals)
+
+    x_n = JacPoint(*(a[:, m:] for a in xvals))          # X(n), batch (1,)
+    x_starts = JacPoint(*(a[:, :m] for a in xvals))     # X(s_b), b = 1..M
+    sum_starts = ec_reduce(x_starts, cfg.reduce_fanout)
+
+    # window_sum = M * X(n) - sum_b X(s_b), with M = 2^c - 1 all-ones.
+    return curve.jac_add(curve.mul_all_ones(x_n, c), curve.jac_neg(sum_starts))
+
+
+def msm_jacobian(points: AffinePoint, scalar_limbs, cfg: MsmConfig | None = None) -> JacPoint:
+    """Full MSM: sum_i scalars[i] * points[i] as a Jacobian point, batch (1,).
+
+    points: AffinePoint of (16, N) Montgomery-form coords ((0,0) = infinity).
+    scalar_limbs: (16, N) standard-form scalars.
+    Jit-traceable end to end; the reference equivalent is metal_msm / the
+    exec_metal_commands chain (src/metal/msm.rs:189-234).
+    """
+    n = points.x.shape[1]
+    if cfg is None:
+        cfg = select_config(n)
+    c = cfg.window_bits
+    w = cfg.num_windows()
+    lanes = min(cfg.scan_lanes, 1 << _ceil_log2(max(n, 1)))
+    steps = -(-n // lanes)
+    n_pad = lanes * steps
+    cfg = MsmConfig(window_bits=c, scan_lanes=lanes, reduce_fanout=cfg.reduce_fanout)
+
+    digits = window_digits(scalar_limbs, cfg)  # (W, N)
+    if n_pad != n:
+        digits = jnp.pad(digits, ((0, 0), (0, n_pad - n)),
+                         constant_values=jnp.uint32(1 << c))
+    # Appended infinity column backs the padded indices.
+    px = jnp.concatenate([points.x, field.zero((1,))], axis=1)
+    py = jnp.concatenate([points.y, field.zero((1,))], axis=1)
+
+    idx0 = jnp.broadcast_to(jnp.arange(n_pad, dtype=jnp.int32)[None], (w, n_pad))
+    idx0 = jnp.where(idx0 >= n, n, idx0)  # pads point at the infinity column
+    sorted_digits, sorted_idx = jax.lax.sort_key_val(digits, idx0, dimension=-1)
+
+    window_fn = functools.partial(_msm_window, px=px, py=py, n=n, cfg=cfg)
+    wsums = jax.lax.map(lambda args: window_fn(*args), (sorted_digits, sorted_idx))
+    # wsums: JacPoint of (W, 16, 1). Horner fold, top window first
+    # (reference: final_accumulation.rs:19-39, on CPU; here a fori_loop).
+
+    def horner(i, acc):
+        widx = w - 2 - i
+
+        def dbl(_, a):
+            return curve.jac_double(a)
+
+        acc = jax.lax.fori_loop(0, c, dbl, acc)
+        nxt = JacPoint(*(jax.lax.dynamic_index_in_dim(a, widx, 0, keepdims=False)
+                         for a in wsums))
+        return curve.jac_add(acc, nxt)
+
+    top = JacPoint(*(a[-1] for a in wsums))
+    return jax.lax.fori_loop(0, w - 1, horner, top)

@@ -1,0 +1,54 @@
+"""MSM configuration: tuned constants promoted into a real config object.
+
+The reference hard-codes its tuning (window size 15 at src/metal/msm.rs:140,
+GPU threshold 2^17 at msm.rs:440, split ratios msm.rs:377-383, 128
+pairs/thread bucket_wise_accumulation.rs:38, ...) with several "TODO - learn
+how to calculate this" notes. Here every knob lives in one dataclass with a
+size-driven selection function, so autotuning can overwrite it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+
+@dataclass(frozen=True)
+class MsmConfig:
+    """Static (trace-time) configuration of the Pippenger pipeline."""
+
+    # Window size in bits. 16 and 8 align digits exactly with the u16 limb
+    # representation (digit extraction becomes a limb slice); other values are
+    # supported via bit extraction. Reference default: 15 (msm.rs:135-141).
+    window_bits: int = 16
+
+    # Number of scan lanes (the vectorization width of the sequential
+    # prefix-scan stage). Reference analogue: pairs-per-thread / threads-per-
+    # group sizing (bucket_wise_accumulation.rs:38-49).
+    scan_lanes: int = 8192
+
+    # Sequential fold widths for the bucket-query reduction.
+    reduce_fanout: int = 256
+
+    def num_windows(self) -> int:
+        return -(-256 // self.window_bits)
+
+    def buckets_per_window(self) -> int:
+        return (1 << self.window_bits) - 1
+
+
+def select_config(n: int) -> MsmConfig:
+    """Size-driven config selection (reference: window_size heuristic,
+    src/metal/msm.rs:135-141 picks c=15, or c=3 below 32 points).
+
+    Cost model: total EC adds ~= num_windows * (n + 2^c). c in {8, 16} keeps
+    digit extraction free (limb-aligned); crossover at n ~= 2^17.
+    """
+    if n < (1 << 17):
+        c = 8
+    else:
+        c = 16
+    lanes = 8192
+    # Small inputs: don't spread thinner than one point per lane.
+    while lanes > 8 and lanes * 2 > n:
+        lanes //= 2
+    return MsmConfig(window_bits=c, scan_lanes=lanes)
