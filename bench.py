@@ -1,0 +1,108 @@
+"""Headline benchmark: BN254 G1 MSM throughput on the TPU.
+
+Workload parity with the reference's canonical bench (BN254 G1 MSM at
+log-size 20; benches/msm_benchmark.rs:62-67, BASELINE.md): random points and
+scalars, timed end-to-end on device (compile excluded), median of repeated
+runs, reported as points/sec.
+
+The reference publishes no numbers (BASELINE.md). `vs_baseline` is computed
+against a NOMINAL 1.0e6 points/s for the reference's Apple-M-series GPU+CPU
+hybrid at 2^20 (~1 s per MSM) — the right order of magnitude for that class
+of hardware; the real target is the trend of this number across rounds.
+
+Prints exactly one JSON line:
+    {"metric": "...", "value": N, "unit": "points/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+NOMINAL_BASELINE_PTS_PER_S = 1.0e6
+
+
+def _random_inputs(n: int, seed: int = 1):
+    """Random valid G1 points (distinct small multiples of G, tiled) and
+    uniform 254-bit scalars, as (16, n) limb arrays."""
+    from tpu_msm.models import bn254
+    from tpu_msm.utils import interop, oracle
+
+    rng = np.random.RandomState(seed)
+    base_count = min(n, 512)
+    base = []
+    acc = oracle.GEN
+    step = oracle.ec_mul(oracle.GEN, 0xDEADBEEF)
+    for _ in range(base_count):
+        base.append(acc)
+        acc = oracle.ec_add(acc, step)
+    pts = [base[i % base_count] for i in range(n)]
+    px, py = interop.affine_points_to_limbs(pts)
+    sbytes = rng.bytes(32 * n)
+    scalars = np.frombuffer(sbytes, dtype="<u2").reshape(n, 16).T.astype(np.uint32)
+    scalars[15] &= 0x3FFF  # < 2^254 < r is fine for throughput purposes
+    return px, py, scalars
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--log-size", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--check", action="store_true",
+                    help="verify result vs the Python oracle (slow; small sizes)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_msm import msm_device
+    from tpu_msm.utils.config import select_config
+
+    n = 1 << args.log_size
+    cfg = select_config(n)
+    px, py, sl = _random_inputs(n)
+    px, py, sl = jnp.asarray(px), jnp.asarray(py), jnp.asarray(sl)
+
+    # Compile (excluded from timing). NOTE: on the remote-tunneled TPU
+    # platform block_until_ready returns at enqueue time, so every timed
+    # iteration ends with a device->host fetch of the (tiny) result — the
+    # transfer cannot complete before the compute does.
+    res = msm_device(px, py, sl, cfg)
+    np.asarray(res.x)
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        res = msm_device(px, py, sl, cfg)
+        np.asarray(res.x)
+        times.append(time.perf_counter() - t0)
+    med = sorted(times)[len(times) // 2]
+    pts_per_s = n / med
+
+    if args.check:
+        from tpu_msm.utils import interop, oracle
+
+        [got] = interop.jac_limbs_to_affine_points(
+            np.asarray(res.x), np.asarray(res.y), np.asarray(res.z)
+        )
+        want = oracle.msm(
+            interop.limbs_to_ints(np.asarray(sl)),
+            interop.limbs_to_affine_points(np.asarray(px), np.asarray(py)),
+        )
+        assert got == want, "MSM result mismatch vs oracle"
+        print("check: OK", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"bn254_msm_log{args.log_size}_throughput",
+        "value": round(pts_per_s, 1),
+        "unit": "points/s",
+        "vs_baseline": round(pts_per_s / NOMINAL_BASELINE_PTS_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

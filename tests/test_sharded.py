@@ -1,0 +1,68 @@
+"""Multi-chip sharded MSM tests on a virtual CPU mesh.
+
+The reference has no distributed axis (single Metal device); this validates
+the new framework's mesh layer (SURVEY.md §5.8): sharded == single-device
+bit-exactness, padding behavior, and determinism across mesh sizes. Runs on
+the 8 virtual CPU devices forced by conftest's
+--xla_force_host_platform_device_count (works alongside a TPU default).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpu_msm.ops import pippenger
+from tpu_msm.ops.curve import AffinePoint, jac_eq
+from tpu_msm.parallel import sharded
+from tpu_msm.utils import interop, oracle
+from tpu_msm.utils.config import MsmConfig
+
+
+def _cpu_devices(n):
+    devs = jax.devices("cpu")
+    if len(devs) < n:
+        pytest.skip(f"need {n} cpu devices, have {len(devs)}")
+    return devs[:n]
+
+
+def _inputs(rng, n):
+    ks = [int(rng.randint(1, 1 << 24)) for _ in range(n)]
+    pts = [oracle.ec_mul(oracle.GEN, k) for k in ks]
+    scalars = [int.from_bytes(rng.bytes(32), "little") % oracle.FR for _ in range(n)]
+    px, py = interop.affine_points_to_limbs(pts)
+    sl = interop.ints_to_limbs(scalars)
+    return pts, scalars, jnp.asarray(px), jnp.asarray(py), jnp.asarray(sl)
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_sharded_matches_single_device(rng, ndev):
+    mesh = sharded.default_mesh(_cpu_devices(ndev))
+    cfg = MsmConfig(window_bits=8, scan_lanes=8)
+    pts, scalars, px, py, sl = _inputs(rng, 8 * ndev)
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        res = sharded.msm_sharded(AffinePoint(px, py), sl, mesh=mesh, cfg=cfg)
+        ref = pippenger.msm_jacobian(AffinePoint(px, py), sl, cfg)
+        assert bool(np.asarray(jac_eq(res, ref))[0])
+    # and against the oracle
+    [got] = interop.jac_limbs_to_affine_points(*[np.asarray(a) for a in res])
+    assert got == oracle.msm(scalars, pts)
+
+
+def test_sharded_padding(rng):
+    """N not divisible by mesh size -> zero-scalar/infinity padding."""
+    mesh = sharded.default_mesh(_cpu_devices(4))
+    cfg = MsmConfig(window_bits=8, scan_lanes=8)
+    pts, scalars, px, py, sl = _inputs(rng, 13)
+    with jax.default_device(jax.devices("cpu")[0]):
+        res = sharded.msm_sharded(AffinePoint(px, py), sl, mesh=mesh, cfg=cfg)
+    [got] = interop.jac_limbs_to_affine_points(*[np.asarray(a) for a in res])
+    assert got == oracle.msm(scalars, pts)
+
+
+def test_graft_entry_dryrun():
+    """The driver's multi-chip dry run must pass as a regular test."""
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(4)

@@ -38,6 +38,14 @@ Affine = Optional[Tuple[int, int]]
 # free, but dropping them still shrinks the scan, so the behavior is kept.
 ZERO_FILTER_THRESHOLD = 0.30
 
+# Below this size the adaptive dispatcher uses the native C++ host engine
+# instead of the device (reference: size < 2^17 -> pure CPU
+# halo2curves::msm_best, src/metal/msm.rs:440-444; our crossover is lower
+# because the TPU pipeline amortizes better). Override: TPU_MSM_CPU_THRESHOLD.
+import os as _os
+
+CPU_THRESHOLD = int(_os.environ.get("TPU_MSM_CPU_THRESHOLD", 1 << 13))
+
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def msm_device(px, py, scalar_limbs, cfg: MsmConfig) -> JacPoint:
@@ -65,7 +73,17 @@ def msm(
         slimbs = scalars
     else:
         slimbs = interop.ints_to_limbs([s % bn254.FR for s in scalars])
+    # Shape bucketing: XLA compiles per static shape, so pad N up to the next
+    # power of two (>= 32) with zero scalars on the infinity point — both are
+    # absorbed for free by the window reduction. The reference has no
+    # analogue (Metal kernels take dynamic sizes); this is the idiomatic XLA
+    # answer to recompile churn.
     n = px.shape[1]
+    n_pad = max(32, 1 << (n - 1).bit_length())
+    if n_pad != n:
+        pad = ((0, 0), (0, n_pad - n))
+        px, py, slimbs = (np.pad(np.asarray(a), pad) for a in (px, py, slimbs))
+        n = n_pad
     if cfg is None:
         cfg = select_config(n)
     res = msm_device(jnp.asarray(px), jnp.asarray(py), jnp.asarray(slimbs), cfg)
@@ -94,4 +112,10 @@ def msm_best(scalars: Sequence[int], points: Sequence[Affine]) -> Affine:
         points = [p for _, p in kept]
     elif num_zeros == n:
         return None
+    if len(scalars) < CPU_THRESHOLD:
+        from tpu_msm.bindings import native
+
+        if native.available():
+            px, py = interop.affine_points_to_limbs(points)
+            return native.msm(px, py, interop.ints_to_limbs(scalars))
     return msm(points, scalars)

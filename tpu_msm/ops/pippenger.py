@@ -172,17 +172,15 @@ def _msm_window(sorted_digits, sorted_idx, px, py, n: int, cfg: MsmConfig) -> Ja
     return curve.jac_add(curve.mul_all_ones(x_n, c), curve.jac_neg(sum_starts))
 
 
-def msm_jacobian(points: AffinePoint, scalar_limbs, cfg: MsmConfig | None = None) -> JacPoint:
-    """Full MSM: sum_i scalars[i] * points[i] as a Jacobian point, batch (1,).
+def window_sums(points: AffinePoint, scalar_limbs, cfg: MsmConfig) -> JacPoint:
+    """Per-window sums Σ_b b·bucket_b for every window. Returns (W, 16, 1).
 
-    points: AffinePoint of (16, N) Montgomery-form coords ((0,0) = infinity).
-    scalar_limbs: (16, N) standard-form scalars.
-    Jit-traceable end to end; the reference equivalent is metal_msm / the
-    exec_metal_commands chain (src/metal/msm.rs:189-234).
+    This is the shardable core: window sums are linear over the multiset of
+    (point, digit) pairs, so per-chip partial window sums EC-add to the global
+    ones (the seam `tpu_msm.parallel` reduces across the device mesh).
+    Reference analogue: stages 1-4 of exec_metal_commands (msm.rs:189-213).
     """
     n = points.x.shape[1]
-    if cfg is None:
-        cfg = select_config(n)
     c = cfg.window_bits
     w = cfg.num_windows()
     lanes = min(cfg.scan_lanes, 1 << _ceil_log2(max(n, 1)))
@@ -203,9 +201,14 @@ def msm_jacobian(points: AffinePoint, scalar_limbs, cfg: MsmConfig | None = None
     sorted_digits, sorted_idx = jax.lax.sort_key_val(digits, idx0, dimension=-1)
 
     window_fn = functools.partial(_msm_window, px=px, py=py, n=n, cfg=cfg)
-    wsums = jax.lax.map(lambda args: window_fn(*args), (sorted_digits, sorted_idx))
-    # wsums: JacPoint of (W, 16, 1). Horner fold, top window first
-    # (reference: final_accumulation.rs:19-39, on CPU; here a fori_loop).
+    return jax.lax.map(lambda args: window_fn(*args), (sorted_digits, sorted_idx))
+
+
+def horner_fold(wsums: JacPoint, c: int) -> JacPoint:
+    """Fold (W, 16, 1) window sums into the MSM result: top window first,
+    c doublings between windows (reference: final_accumulation.rs:19-39 —
+    there a CPU loop over readback; here an on-device fori_loop)."""
+    w = wsums.x.shape[0]
 
     def horner(i, acc):
         widx = w - 2 - i
@@ -220,3 +223,16 @@ def msm_jacobian(points: AffinePoint, scalar_limbs, cfg: MsmConfig | None = None
 
     top = JacPoint(*(a[-1] for a in wsums))
     return jax.lax.fori_loop(0, w - 1, horner, top)
+
+
+def msm_jacobian(points: AffinePoint, scalar_limbs, cfg: MsmConfig | None = None) -> JacPoint:
+    """Full MSM: sum_i scalars[i] * points[i] as a Jacobian point, batch (1,).
+
+    points: AffinePoint of (16, N) Montgomery-form coords ((0,0) = infinity).
+    scalar_limbs: (16, N) standard-form scalars.
+    Jit-traceable end to end; the reference equivalent is metal_msm / the
+    exec_metal_commands chain (src/metal/msm.rs:189-234).
+    """
+    if cfg is None:
+        cfg = select_config(points.x.shape[1])
+    return horner_fold(window_sums(points, scalar_limbs, cfg), cfg.window_bits)

@@ -23,6 +23,7 @@ All functions are shape-polymorphic over the batch dims and jit-safe.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from tpu_msm.models.bn254 import LIMBS, LIMB_BITS, LIMB_MASK
@@ -44,8 +45,12 @@ def from_const(limbs_np: np.ndarray, batch_ndim: int = 1):
 
 def _shift_up(x, d: int):
     """Shift limb rows toward higher indices by d, filling with zeros.
-    (The value moved into limb k comes from limb k-d.)"""
-    return jnp.concatenate([jnp.zeros_like(x[:d]), x[:-d]], axis=0)
+    (The value moved into limb k comes from limb k-d.) Implemented as a
+    single lax.pad with negative high-edge padding — one XLA op instead of
+    the zeros+slice+concatenate triple, which XLA:CPU turned into a
+    standalone fusion kernel per instance (compile-time killer)."""
+    pad_cfg = [(d, -d, 0)] + [(0, 0, 0)] * (x.ndim - 1)
+    return jax.lax.pad(x, jnp.zeros((), x.dtype), pad_cfg)
 
 
 def _resolve_carries(s, extra_bits: int):
@@ -54,13 +59,17 @@ def _resolve_carries(s, extra_bits: int):
     Returns (limbs, carry_out) such that sum_k s[k]*2^(16k) ==
     sum_k limbs[k]*2^(16k) + carry_out*2^(16n), with limbs < 2^16.
 
-    One relaxation pass folds the multi-bit carries down to {0,1}, then a
-    Kogge-Stone carry-lookahead (log2(n) rounds of vector bitwise ops)
-    resolves the remaining single-bit ripple. This replaces the sequential
-    per-limb carry chain — a ~5x reduction in traced ops, and every op is a
-    full-width VPU vector op instead of a limb-slice scalar op.
+    One relaxation pass folds the multi-bit carries down to {0,1}; the
+    remaining single-bit ripple is resolved in closed form with cumulative
+    scans instead of a Kogge-Stone ladder: with generate g, propagate p in
+    {0,1} and q = cumsum(1-p), the carry out of limb k is
+
+        c[k] = OR_{j<=k} ( g[j] AND p[j+1..k] ) = [ cummax(g*(q+1))[k] == q[k]+1 ]
+
+    because p[j+1..k] all set iff q[j] == q[k]. Two scans + elementwise ops —
+    no limb-axis slicing at all (the ladder's ~10 shifted slices each became
+    a separate fusion kernel on XLA:CPU, dominating compile time).
     """
-    n = s.shape[0]
     if extra_bits > 0:
         lo = s & _MASK
         hi = s >> LIMB_BITS  # < 2^extra_bits
@@ -71,12 +80,9 @@ def _resolve_carries(s, extra_bits: int):
     g = s >> LIMB_BITS  # in {0, 1}
     r = s & _MASK
     p = (r == _MASK).astype(U32)
-    c = g
-    d = 1
-    while d < n:
-        c = c | (p & _shift_up(c, d))
-        p = p & _shift_up(p, d)
-        d *= 2
+    q = jnp.cumsum(jnp.uint32(1) - p, axis=0, dtype=U32)
+    marks = jax.lax.cummax(g * (q + jnp.uint32(1)), axis=0)
+    c = (marks == q + jnp.uint32(1)).astype(U32)
     cin = _shift_up(c, 1)
     out = (r + cin) & _MASK
     return out, c[-1] + top_carry

@@ -1,0 +1,116 @@
+"""Multi-chip sharded MSM over a `jax.sharding.Mesh`.
+
+The reference is strictly single-device (one Metal GPU + host CPU; its only
+"communication fabric" is Apple unified memory plus a condvar/mutex,
+src/metal/msm.rs:250-255,306-312). This module is the TPU-native distributed
+layer the new framework adds (SURVEY.md §5.8): the hybrid GPU+CPU work split
+of `gpu_with_cpu` (msm.rs:366-421) becomes data sharding of the (points,
+scalars) arrays across the chips of a mesh.
+
+Decomposition: per-window sums Σ_b b·bucket_b are *linear* over the multiset
+of (point, digit) pairs, so each chip computes partial window sums over its
+shard and the global window sums are the EC sum across chips. The collective
+is an `all_gather` of the (W, 16, 1) partial sums — W·3·16 u32 ≈ 6 KB per
+chip, riding ICI — followed by a log-depth EC tree reduction and a replicated
+Horner fold. EC addition is associative and the reduction order is fixed by
+the mesh, so results are bit-identical for any chip count.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from tpu_msm.ops import curve, pippenger
+from tpu_msm.ops.curve import AffinePoint, JacPoint
+from tpu_msm.utils.config import MsmConfig, select_config
+
+
+def _tree_reduce_leading(pts: JacPoint) -> JacPoint:
+    """EC-sum over the leading axis of a (D, 16, B) JacPoint, log-depth.
+
+    D is a trace-time constant (the mesh size), so the tree is unrolled; the
+    reduction order is a fixed balanced tree → bit-determinism across runs.
+    """
+    d = pts.x.shape[0]
+    while d > 1:
+        half = d // 2
+        lo = JacPoint(*(a[:half] for a in pts))
+        hi = JacPoint(*(a[half : 2 * half] for a in pts))
+        merged = curve.jac_add(lo, hi)
+        if d % 2:
+            merged = JacPoint(
+                *(jnp.concatenate([m, a[-1:]], axis=0) for m, a in zip(merged, pts))
+            )
+        pts = merged
+        d = (d + 1) // 2
+    return JacPoint(*(a[0] for a in pts))
+
+
+def _local_step(px, py, slimbs, cfg: MsmConfig, axis: str) -> JacPoint:
+    """Per-chip body: local window sums -> all_gather -> tree add -> Horner."""
+    wsums = pippenger.window_sums(AffinePoint(px, py), slimbs, cfg)  # (W,16,1)
+    gathered = JacPoint(
+        *(jax.lax.all_gather(a, axis, axis=0) for a in wsums)
+    )  # (D, W, 16, 1)
+    total = _tree_reduce_leading(gathered)  # (W, 16, 1)
+    return pippenger.horner_fold(total, cfg.window_bits)
+
+
+def make_sharded_msm(mesh: Mesh, cfg: MsmConfig, axis: str = "data"):
+    """Build a jitted sharded MSM: (px, py, scalar_limbs) -> JacPoint (16, 1).
+
+    Inputs are (16, N) limb arrays with N divisible by the mesh axis size;
+    they are sharded along N (in_specs P(None, axis)); the result is
+    replicated. Pass arrays already placed with `shard_arrays` to avoid a
+    layout transfer on dispatch.
+    """
+    fn = shard_map(
+        functools.partial(_local_step, cfg=cfg, axis=axis),
+        mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis), P(None, axis)),
+        out_specs=P(),
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
+def shard_arrays(mesh: Mesh, axis: str, *arrays):
+    """Place (16, N) host arrays onto the mesh, sharded along N."""
+    sharding = NamedSharding(mesh, P(None, axis))
+    return tuple(jax.device_put(jnp.asarray(a), sharding) for a in arrays)
+
+
+def default_mesh(devices=None, axis: str = "data") -> Mesh:
+    """1-D mesh over all (or the given) devices."""
+    import numpy as np
+
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.array(devices), (axis,))
+
+
+def msm_sharded(points: AffinePoint, scalar_limbs, mesh: Mesh | None = None,
+                cfg: MsmConfig | None = None, axis: str = "data") -> JacPoint:
+    """One-call sharded MSM (convenience wrapper; jits per (mesh, cfg, shape)).
+
+    Pads N up to a multiple of the mesh size with zero scalars on the infinity
+    point — both absorbed for free by the window reduction.
+    """
+    if mesh is None:
+        mesh = default_mesh()
+    n = points.x.shape[1]
+    d = mesh.shape[axis]
+    if cfg is None:
+        cfg = select_config(-(-n // d))
+    pad = (-n) % d
+    px, py, sl = points.x, points.y, scalar_limbs
+    if pad:
+        px = jnp.pad(px, ((0, 0), (0, pad)))
+        py = jnp.pad(py, ((0, 0), (0, pad)))
+        sl = jnp.pad(sl, ((0, 0), (0, pad)))
+    px, py, sl = shard_arrays(mesh, axis, px, py, sl)
+    return make_sharded_msm(mesh, cfg, axis)(px, py, sl)

@@ -41,11 +41,11 @@ def ints_to_limbs(values: Sequence[int]) -> np.ndarray:
 
 
 def limbs_to_ints(limbs: np.ndarray) -> List[int]:
-    """(16, n) limb array -> list of Python ints."""
+    """(k, n) limb array -> list of Python ints (any limb count k)."""
     limbs = np.asarray(limbs, dtype=np.uint64)
     n = limbs.shape[1]
     out = [0] * n
-    for i in range(LIMBS - 1, -1, -1):
+    for i in range(limbs.shape[0] - 1, -1, -1):
         row = limbs[i]
         for j in range(n):
             out[j] = (out[j] << LIMB_BITS) | int(row[j])
