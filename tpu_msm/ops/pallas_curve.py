@@ -1,0 +1,399 @@
+"""Fused Pallas TPU kernels for the EC hot ops (mixed add / full add).
+
+Why these exist: the jnp compute path (tpu_msm.ops.curve) expresses each
+field multiply as an outer product + gather + carry pass over (16, batch)
+arrays. XLA materializes the (16, 32, k, batch) intermediates to HBM — at
+8192 lanes that is ~100+ MB of spill traffic per Montgomery multiply, and
+the measured scan step runs ~45x off the VPU roofline (840 ms per 2^20-point
+window at log-20). These kernels fuse one complete EC operation per
+pallas_call: every intermediate lives in vregs/VMEM and HBM traffic drops to
+the operands themselves (~512 B per lane).
+
+Design (same math as ops/curve.py and the reference's Metal EC templates,
+src/metal/shader/curves/ec_point.h.metal:13-175 — TPU-native shape):
+
+* **Row representation**: a 256-bit element is a Python list of 16 uint32
+  arrays of shape (8, 128) — one per 16-bit limb, each exactly one VPU tile.
+  The limb "axis" is unrolled at trace time: no limb-axis slicing, gathers,
+  or concatenates anywhere (the patterns XLA:CPU/TPU handled badly).
+* **Eager canonical arithmetic**: every field value keeps limbs < 2^16 and
+  value < P. Carry/borrow propagation is a 16-step sequential ripple — cheap
+  inside a fused kernel (3 vreg ops per limb), unlike in the XLA graph.
+  This mirrors the reference's per-thread schoolbook loops
+  (unsigned_int.h.metal:77-165) at (8,128)-tile width.
+* **Completeness via selects** with the doubling fallback computed in the
+  same kernel (policy identical to ops/curve.py).
+
+Array layout at the pallas_call boundary: (16, R, 128) uint32, R a multiple
+of 8; block (16, 8, 128) over grid R/8. `pack_lanes`/`unpack_lanes` convert
+from the pipeline's (16, N) layout (N a multiple of 1024).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_msm.models import bn254
+
+import numpy as np
+
+# numpy scalars: trace-time literals, NOT captured jax arrays (pallas kernels
+# reject captured constants).
+MASK = np.uint32(0xFFFF)
+B16 = np.uint32(0x10000)
+_U1 = np.uint32(1)
+NROWS = 16
+SUBLANES = 8
+LANE = 128
+TILE = SUBLANES * LANE  # 1024 lanes per grid step
+
+
+def _const_rows(value: int):
+    return [np.uint32((value >> (16 * i)) & 0xFFFF) for i in range(NROWS)]
+
+
+_P_ROWS = _const_rows(bn254.P)
+_PINV_ROWS = _const_rows((-pow(bn254.P, -1, 1 << 256)) % (1 << 256))
+_ONE_MONT_ROWS = _const_rows((1 << 256) % bn254.P)  # Montgomery 1
+
+
+# ---------------------------------------------------------------------------
+# Field arithmetic on canonical rows (lists of 16 (8,128) u32 tiles, < 2^16
+# per row, value < P).
+# ---------------------------------------------------------------------------
+
+def _ripple(cols):
+    """Sequential exact carry propagation. cols[k] < 2^31 allowed.
+    Returns (canonical rows, final carry)."""
+    out = []
+    c = None
+    for v in cols:
+        if c is not None:
+            v = v + c
+        out.append(v & MASK)
+        c = v >> 16
+    return out, c
+
+
+def _sub_rows(a, b):
+    """a - b over 16 rows (two's complement); returns (rows, borrow in {0,1})."""
+    out = []
+    bor = None
+    for x, y in zip(a, b):
+        v = x - y + B16 if bor is None else x - y - bor + B16
+        out.append(v & MASK)
+        bor = _U1 - (v >> 16)
+    return out, bor
+
+
+def _select(mask, a, b):
+    return [jnp.where(mask, x, y) for x, y in zip(a, b)]
+
+
+def _is_zero(a):
+    z = a[0] == 0
+    for r in a[1:]:
+        z = z & (r == 0)
+    return z
+
+
+def _cond_sub_p(rows):
+    """rows - P if rows >= P (requires rows < 2P as a value in 16 limbs)."""
+    d, bor = _sub_rows(rows, _P_ROWS)
+    return _select(bor == 0, d, rows)
+
+
+def add_mod(a, b):
+    """(a + b) mod P, canonical in/out. Sum < 2P fits 16 limbs."""
+    s, _ = _ripple([x + y for x, y in zip(a, b)])
+    return _cond_sub_p(s)
+
+
+def sub_mod(a, b):
+    """(a - b) mod P, canonical in/out."""
+    d, bor = _sub_rows(a, b)
+    dp, _ = _ripple([x + y for x, y in zip(d, _P_ROWS)])
+    return _select(bor == 1, dp, d)
+
+
+def dbl_mod(a):
+    return add_mod(a, a)
+
+
+def neg_mod(a):
+    d, _ = _sub_rows(_P_ROWS, a)
+    return _select(_is_zero(a), a, d)
+
+
+def _conv_full(a, b_rows, nb):
+    """Schoolbook convolution of 16 canonical rows with nb constant-or-row
+    multiplicands; returns 16+nb ripple-resolved rows (carry structurally 0
+    for full products < 2^(16*(16+nb)))."""
+    nout = NROWS + nb
+    lo = [None] * nout
+    hi = [None] * (nout + 1)
+    for i in range(NROWS):
+        ai = a[i]
+        for j in range(nb):
+            p = ai * b_rows[j]
+            k = i + j
+            pl = p & MASK
+            ph = p >> 16
+            lo[k] = pl if lo[k] is None else lo[k] + pl
+            hi[k + 1] = ph if hi[k + 1] is None else hi[k + 1] + ph
+    cols = []
+    for k in range(nout):
+        v = lo[k]
+        h = hi[k]
+        if v is None:
+            v = h
+        elif h is not None:
+            v = v + h
+        cols.append(v)
+    rows, _ = _ripple(cols)
+    return rows
+
+
+def _mul_lo16(t, c_rows):
+    """Low 16 rows of t * c (canonical t, constant c), mod 2^256."""
+    lo = [None] * NROWS
+    hi = [None] * NROWS
+    for i in range(NROWS):
+        ti = t[i]
+        for j in range(NROWS - i):
+            p = ti * c_rows[j]
+            k = i + j
+            pl = p & MASK
+            lo[k] = pl if lo[k] is None else lo[k] + pl
+            if k + 1 < NROWS:
+                ph = p >> 16
+                hi[k + 1] = ph if hi[k + 1] is None else hi[k + 1] + ph
+    cols = []
+    for k in range(NROWS):
+        v = lo[k]
+        if hi[k] is not None:
+            v = v + hi[k]
+        cols.append(v)
+    rows, _ = _ripple(cols)
+    return rows
+
+
+def mont_mul(a, b):
+    """Montgomery product a*b*R^-1 mod P of canonical rows, result < P.
+
+    Full product then one-shot REDC (m = t_lo * (-P^-1) mod 2^256;
+    out = (t + m*P) >> 256, conditional subtract). Row analogue of the
+    reference's CIOS (fp_bn254.h.metal:237-290) and field.mont_mul."""
+    t = _conv_full(a, b, NROWS)  # 32 rows
+    m = _mul_lo16(t, _PINV_ROWS)
+    mp = _conv_full(m, _P_ROWS, NROWS)  # 32 rows
+    rows, _ = _ripple([x + y for x, y in zip(t, mp)])
+    # (t + m*P) / 2^256 < 2P fits the high 16 limbs; low 16 are zero.
+    return _cond_sub_p(rows[NROWS:])
+
+
+def mont_sqr(a):
+    return mont_mul(a, a)
+
+
+def _zero_rows(like):
+    return [jnp.zeros_like(like) for _ in range(NROWS)]
+
+
+def _bcast_rows(c_rows, like):
+    return [jnp.full_like(like, c) for c in c_rows]
+
+
+# ---------------------------------------------------------------------------
+# EC formulas on rows (complete via selects, doubling fused).
+# ---------------------------------------------------------------------------
+
+def _dbl_core(x1, y1, z1):
+    """dbl-2009-l pieces shared by both adders (reference:
+    ec_point.h.metal:141-175)."""
+    xx = mont_sqr(x1)
+    yy = mont_sqr(y1)
+    yyyy = mont_sqr(yy)
+    t = mont_sqr(add_mod(x1, yy))
+    d = dbl_mod(sub_mod(sub_mod(t, xx), yyyy))
+    e = add_mod(dbl_mod(xx), xx)
+    f = mont_sqr(e)
+    xd = sub_mod(f, dbl_mod(d))
+    yd = sub_mod(mont_mul(e, sub_mod(d, xd)),
+                 dbl_mod(dbl_mod(dbl_mod(yyyy))))
+    zd = mont_mul(dbl_mod(y1), z1)
+    return xd, yd, zd
+
+
+def _finalize(raw, dbl, p, q, inf_p, inf_q, h_zero, r_zero):
+    use_dbl = h_zero & r_zero & ~inf_p & ~inf_q
+    ox = _select(use_dbl, dbl[0], raw[0])
+    oy = _select(use_dbl, dbl[1], raw[1])
+    oz = _select(use_dbl, dbl[2], raw[2])
+    inf_mask = h_zero & ~r_zero & ~inf_p & ~inf_q
+    oz = _select(inf_mask, _zero_rows(oz[0]), oz)
+    ox = _select(inf_q, p[0], ox)
+    oy = _select(inf_q, p[1], oy)
+    oz = _select(inf_q, p[2], oz)
+    ox = _select(inf_p, q[0], ox)
+    oy = _select(inf_p, q[1], oy)
+    oz = _select(inf_p, q[2], oz)
+    return ox, oy, oz
+
+
+def _madd_rows(x1, y1, z1, x2, y2):
+    """Complete mixed addition (madd-2007-bl + fused doubling fallback).
+    jnp analogue: curve.jac_add_affine; affine infinity sentinel (0, 0)."""
+    inf_q = _is_zero(x2) & _is_zero(y2)
+    inf_p = _is_zero(z1)
+
+    z1z1 = mont_sqr(z1)
+    u2 = mont_mul(x2, z1z1)
+    s2 = mont_mul(y2, mont_mul(z1, z1z1))
+    h = sub_mod(u2, x1)
+    rhalf = sub_mod(s2, y1)
+    h_zero = _is_zero(h)
+    r_zero = _is_zero(rhalf)
+    r = dbl_mod(rhalf)
+
+    hh = mont_sqr(h)
+    i = dbl_mod(dbl_mod(hh))
+    j = mont_mul(h, i)
+    v = mont_mul(x1, i)
+    rr = mont_sqr(r)
+    x3 = sub_mod(sub_mod(rr, j), dbl_mod(v))
+    y3 = sub_mod(mont_mul(r, sub_mod(v, x3)), dbl_mod(mont_mul(y1, j)))
+    z3 = sub_mod(sub_mod(mont_sqr(add_mod(z1, h)), z1z1), hh)
+
+    dblp = _dbl_core(x1, y1, z1)
+    one = _bcast_rows(_ONE_MONT_ROWS, x2[0])
+    q_jac = (x2, y2, _select(inf_q, _zero_rows(x2[0]), one))
+    return _finalize((x3, y3, z3), dblp, (x1, y1, z1), q_jac,
+                     inf_p, inf_q, h_zero, r_zero)
+
+
+def _add_rows(x1, y1, z1, x2, y2, z2):
+    """Complete Jacobian + Jacobian (add-2007-bl + fused doubling).
+    jnp analogue: curve.jac_add."""
+    inf_p = _is_zero(z1)
+    inf_q = _is_zero(z2)
+
+    z1z1 = mont_sqr(z1)
+    z2z2 = mont_sqr(z2)
+    u1 = mont_mul(x1, z2z2)
+    u2 = mont_mul(x2, z1z1)
+    s1 = mont_mul(y1, mont_mul(z2, z2z2))
+    s2 = mont_mul(y2, mont_mul(z1, z1z1))
+    h = sub_mod(u2, u1)
+    rhalf = sub_mod(s2, s1)
+    h_zero = _is_zero(h)
+    r_zero = _is_zero(rhalf)
+    r = dbl_mod(rhalf)
+
+    i = mont_sqr(dbl_mod(h))
+    j = mont_mul(h, i)
+    v = mont_mul(u1, i)
+    rr = mont_sqr(r)
+    x3 = sub_mod(sub_mod(rr, j), dbl_mod(v))
+    y3 = sub_mod(mont_mul(r, sub_mod(v, x3)), dbl_mod(mont_mul(s1, j)))
+    zh = sub_mod(sub_mod(mont_sqr(add_mod(z1, z2)), z1z1), z2z2)
+    z3 = mont_mul(zh, h)
+
+    dblp = _dbl_core(x1, y1, z1)
+    return _finalize((x3, y3, z3), dblp, (x1, y1, z1), (x2, y2, z2),
+                     inf_p, inf_q, h_zero, r_zero)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers.
+# ---------------------------------------------------------------------------
+
+def pack_lanes(a):
+    """(16, N) -> (16, N//128, 128); N must be a multiple of 1024."""
+    n = a.shape[1]
+    assert n % TILE == 0, n
+    return a.reshape(16, n // LANE, LANE)
+
+
+def unpack_lanes(a):
+    return a.reshape(16, a.shape[1] * LANE)
+
+
+def _rows_of(val):
+    return [val[i] for i in range(NROWS)]
+
+
+def _madd_kernel(accx, accy, accz, ptx, pty, ox, oy, oz):
+    rx, ry, rz = _madd_rows(
+        _rows_of(accx[...]), _rows_of(accy[...]), _rows_of(accz[...]),
+        _rows_of(ptx[...]), _rows_of(pty[...]))
+    ox[...] = jnp.stack(rx)
+    oy[...] = jnp.stack(ry)
+    oz[...] = jnp.stack(rz)
+
+
+def _add_kernel(ax, ay, az, bx, by, bz, ox, oy, oz):
+    rx, ry, rz = _add_rows(
+        _rows_of(ax[...]), _rows_of(ay[...]), _rows_of(az[...]),
+        _rows_of(bx[...]), _rows_of(by[...]), _rows_of(bz[...]))
+    ox[...] = jnp.stack(rx)
+    oy[...] = jnp.stack(ry)
+    oz[...] = jnp.stack(rz)
+
+
+def _spec(sub: int):
+    return pl.BlockSpec((NROWS, sub, LANE), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _pick_sub(r: int, sub: int | None):
+    """Block height: requested, or the largest power-of-two divisor of r up
+    to 32 sublanes (more independent work per vector op -> fewer pipeline
+    stalls from the ripple chains)."""
+    if sub is not None:
+        return sub
+    s = SUBLANES
+    while s * 2 <= 32 and r % (s * 2) == 0:
+        s *= 2
+    return s
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "sub"))
+def madd_packed(accx, accy, accz, ptx, pty, interpret: bool = False,
+                sub: int | None = None):
+    """Complete mixed add on packed (16, R, 128) uint32 arrays."""
+    s = _pick_sub(accx.shape[1], sub)
+    grid = (accx.shape[1] // s,)
+    shape = jax.ShapeDtypeStruct(accx.shape, jnp.uint32)
+    out = pl.pallas_call(
+        _madd_kernel,
+        grid=grid,
+        in_specs=[_spec(s)] * 5,
+        out_specs=[_spec(s)] * 3,
+        out_shape=[shape] * 3,
+        interpret=interpret,
+    )(accx, accy, accz, ptx, pty)
+    return tuple(out)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "sub"))
+def add_packed(ax, ay, az, bx, by, bz, interpret: bool = False,
+               sub: int | None = None):
+    """Complete Jacobian add on packed (16, R, 128) uint32 arrays."""
+    s = _pick_sub(ax.shape[1], sub)
+    grid = (ax.shape[1] // s,)
+    shape = jax.ShapeDtypeStruct(ax.shape, jnp.uint32)
+    out = pl.pallas_call(
+        _add_kernel,
+        grid=grid,
+        in_specs=[_spec(s)] * 6,
+        out_specs=[_spec(s)] * 3,
+        out_shape=[shape] * 3,
+        interpret=interpret,
+    )(ax, ay, az, bx, by, bz)
+    return tuple(out)

@@ -43,11 +43,50 @@ import jax.numpy as jnp
 from tpu_msm.models import bn254
 from tpu_msm.ops import curve, field, u256
 from tpu_msm.ops.curve import AffinePoint, JacPoint
-from tpu_msm.utils.config import MsmConfig, select_config
+from tpu_msm.utils.config import MsmConfig, resolve_backend, select_config
 
 
 def _ceil_log2(x: int) -> int:
     return max(0, (x - 1).bit_length())
+
+
+# ---------------------------------------------------------------------------
+# EC-op backend dispatch: wide batches go to the fused Pallas kernels
+# (tpu_msm.ops.pallas_curve — VMEM-resident, ~33x faster per scan step than
+# the XLA-fused jnp path on TPU); narrow batches and the CPU backend use the
+# jnp ops (Pallas kernels need the lane count to be a multiple of 1024).
+# ---------------------------------------------------------------------------
+
+_PALLAS_MIN_WIDTH = 1024
+
+
+def _use_pallas(backend: str, width: int) -> bool:
+    return (backend == "pallas" and width >= _PALLAS_MIN_WIDTH
+            and width % _PALLAS_MIN_WIDTH == 0)
+
+
+def ec_madd(acc: JacPoint, pt: AffinePoint, backend: str) -> JacPoint:
+    """Complete mixed add, backend-dispatched on batch width (last dim)."""
+    if _use_pallas(backend, acc.x.shape[-1]):
+        from tpu_msm.ops import pallas_curve as pc
+
+        res = pc.madd_packed(
+            pc.pack_lanes(acc.x), pc.pack_lanes(acc.y), pc.pack_lanes(acc.z),
+            pc.pack_lanes(pt.x), pc.pack_lanes(pt.y))
+        return JacPoint(*(pc.unpack_lanes(r) for r in res))
+    return curve.jac_add_affine(acc, pt)
+
+
+def ec_add(p: JacPoint, q: JacPoint, backend: str) -> JacPoint:
+    """Complete Jacobian add, backend-dispatched on batch width (last dim)."""
+    if _use_pallas(backend, p.x.shape[-1]):
+        from tpu_msm.ops import pallas_curve as pc
+
+        res = pc.add_packed(
+            pc.pack_lanes(p.x), pc.pack_lanes(p.y), pc.pack_lanes(p.z),
+            pc.pack_lanes(q.x), pc.pack_lanes(q.y), pc.pack_lanes(q.z))
+        return JacPoint(*(pc.unpack_lanes(r) for r in res))
+    return curve.jac_add(p, q)
 
 
 def window_digits(scalar_limbs, cfg: MsmConfig):
@@ -70,36 +109,50 @@ def window_digits(scalar_limbs, cfg: MsmConfig):
     )
 
 
-def _lane_inclusive_scan(totals: JacPoint, lanes: int) -> JacPoint:
+def _lane_inclusive_scan(totals: JacPoint, lanes: int, backend: str = "jnp") -> JacPoint:
     """Hillis–Steele inclusive EC scan across the lane axis (last axis)."""
     lane_idx = jnp.arange(lanes)
 
     def level(i, t):
         sh = jnp.left_shift(jnp.int32(1), i)
         rolled = JacPoint(*(jnp.roll(a, sh, axis=-1) for a in t))
-        added = curve.jac_add(t, rolled)
+        added = ec_add(t, rolled, backend)
         return curve.select_point(lane_idx >= sh, added, t)
 
     return jax.lax.fori_loop(0, _ceil_log2(lanes), level, totals)
 
 
-def _sequential_fold(pts: JacPoint, lanes: int, steps: int) -> JacPoint:
+def _sequential_fold(pts: JacPoint, lanes: int, steps: int, backend: str = "jnp") -> JacPoint:
     """EC-sum groups of `steps` consecutive points: (16, lanes*steps) -> (16, lanes)."""
     grouped = JacPoint(*(a.reshape(bn254.LIMBS, lanes, steps) for a in pts))
 
     def body(k, acc):
         nxt = JacPoint(*(a[:, :, k] for a in grouped))
-        return curve.jac_add(acc, nxt)
+        return ec_add(acc, nxt, backend)
 
     return jax.lax.fori_loop(0, steps, body, curve.jac_infinity((lanes,)))
 
 
-def ec_reduce(pts: JacPoint, fanout: int = 256) -> JacPoint:
+def _roll_reduce(pts: JacPoint, width: int, backend: str) -> JacPoint:
+    """EC-sum of (16, width) -> (16, 1) via log2(width) full-width rolled
+    adds (after level k, lane i holds the wrapped sum of lanes [i, i+2^k);
+    lane 0 ends with the total). Fixed width at every level — one Pallas
+    kernel shape instead of a shrinking-shape cascade."""
+    def level(i, t):
+        sh = jnp.left_shift(jnp.int32(1), i)
+        rolled = JacPoint(*(jnp.roll(a, -sh, axis=-1) for a in t))
+        return ec_add(t, rolled, backend)
+
+    out = jax.lax.fori_loop(0, _ceil_log2(width), level, pts)
+    return JacPoint(*(a[..., :1] for a in out))
+
+
+def ec_reduce(pts: JacPoint, fanout: int = 256, backend: str = "jnp") -> JacPoint:
     """EC-sum of a (16, B) batch of Jacobian points -> (16, 1).
 
-    Staged sequential folds (each stage one small fori body) instead of an
-    unrolled log tree, to keep the traced graph tiny. Equivalent role to the
-    reference's two-stage sum_reduction tree (msm.h.metal:319-562).
+    Sequential folds down to `fanout` lanes, then a fixed-width rolled tree.
+    Equivalent role to the reference's two-stage sum_reduction tree
+    (msm.h.metal:319-562).
     """
     b = pts.x.shape[-1]
     b_pad = 1 << _ceil_log2(max(b, 1))
@@ -107,11 +160,10 @@ def ec_reduce(pts: JacPoint, fanout: int = 256) -> JacPoint:
         inf = curve.jac_infinity((b_pad - b,))
         pts = JacPoint(*(jnp.concatenate([a, i], axis=-1) for a, i in zip(pts, inf)))
         b = b_pad
-    while b > 1:
-        f = min(b, fanout) if b > fanout else min(b, 16)
-        pts = _sequential_fold(pts, b // f, f)
-        b //= f
-    return pts
+    if b > fanout:
+        pts = _sequential_fold(pts, fanout, b // fanout, backend)
+        b = fanout
+    return _roll_reduce(pts, b, backend)
 
 
 def _msm_window(sorted_digits, sorted_idx, px, py, n: int, cfg: MsmConfig) -> JacPoint:
@@ -131,16 +183,18 @@ def _msm_window(sorted_digits, sorted_idx, px, py, n: int, cfg: MsmConfig) -> Ja
     gx = jnp.moveaxis(gx, 2, 0)  # (steps, 16, lanes)
     gy = jnp.moveaxis(gy, 2, 0)
 
+    backend = cfg.backend
+
     def step(acc, pt_xy):
         sx, sy = pt_xy
-        acc = curve.jac_add_affine(acc, AffinePoint(sx, sy))
+        acc = ec_madd(acc, AffinePoint(sx, sy), backend)
         return acc, acc
 
     _, ys = jax.lax.scan(step, curve.jac_infinity((lanes,)), (gx, gy))
     # ys: JacPoint of (steps, 16, lanes) — per-lane inclusive local scans.
 
     totals = JacPoint(*(a[-1] for a in ys))
-    inc = _lane_inclusive_scan(totals, lanes)
+    inc = _lane_inclusive_scan(totals, lanes, backend)
     lane_idx = jnp.arange(lanes)
     carry = curve.select_point(
         lane_idx >= 1,
@@ -161,12 +215,12 @@ def _msm_window(sorted_digits, sorted_idx, px, py, n: int, cfg: MsmConfig) -> Ja
     kq = (pos % steps).astype(jnp.int32)
     local = JacPoint(*(jnp.moveaxis(a[kq, :, lq], 0, 1) for a in ys))  # (16, M+1)
     lane_carry = JacPoint(*(a[:, lq] for a in carry))
-    xvals = curve.jac_add(lane_carry, local)
+    xvals = ec_add(lane_carry, local, backend)
     xvals = curve.select_point(is_zero, curve.jac_infinity((m + 1,)), xvals)
 
     x_n = JacPoint(*(a[:, m:] for a in xvals))          # X(n), batch (1,)
     x_starts = JacPoint(*(a[:, :m] for a in xvals))     # X(s_b), b = 1..M
-    sum_starts = ec_reduce(x_starts, cfg.reduce_fanout)
+    sum_starts = ec_reduce(x_starts, cfg.reduce_fanout, backend)
 
     # window_sum = M * X(n) - sum_b X(s_b), with M = 2^c - 1 all-ones.
     return curve.jac_add(curve.mul_all_ones(x_n, c), curve.jac_neg(sum_starts))
@@ -186,7 +240,9 @@ def window_sums(points: AffinePoint, scalar_limbs, cfg: MsmConfig) -> JacPoint:
     lanes = min(cfg.scan_lanes, 1 << _ceil_log2(max(n, 1)))
     steps = -(-n // lanes)
     n_pad = lanes * steps
-    cfg = MsmConfig(window_bits=c, scan_lanes=lanes, reduce_fanout=cfg.reduce_fanout)
+    cfg = MsmConfig(window_bits=c, scan_lanes=lanes,
+                    reduce_fanout=cfg.reduce_fanout,
+                    backend=resolve_backend(cfg.backend))
 
     digits = window_digits(scalar_limbs, cfg)  # (W, N)
     if n_pad != n:

@@ -27,13 +27,26 @@ class MsmConfig:
     scan_lanes: int = 8192
 
     # Sequential fold widths for the bucket-query reduction.
-    reduce_fanout: int = 256
+    reduce_fanout: int = 4096
+
+    # EC-op backend: "auto" (pallas on TPU, jnp on CPU), "pallas", or "jnp".
+    # Pallas = fused VMEM-resident kernels (tpu_msm.ops.pallas_curve); batches
+    # narrower than 1024 lanes fall back to jnp ops either way.
+    backend: str = "auto"
 
     def num_windows(self) -> int:
         return -(-256 // self.window_bits)
 
     def buckets_per_window(self) -> int:
         return (1 << self.window_bits) - 1
+
+
+def resolve_backend(backend: str) -> str:
+    if backend != "auto":
+        return backend
+    import jax
+
+    return "jnp" if jax.default_backend() == "cpu" else "pallas"
 
 
 def select_config(n: int) -> MsmConfig:
