@@ -86,7 +86,7 @@ def main():
     if args.check:
         from tpu_msm.utils import interop, oracle
 
-        [got] = interop.jac_limbs_to_affine_points(
+        [got] = interop.proj_limbs_to_affine_points(
             np.asarray(res.x), np.asarray(res.y), np.asarray(res.z)
         )
         want = oracle.msm(

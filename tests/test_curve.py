@@ -121,3 +121,60 @@ def test_jac_eq(sample):
     eqs = np.asarray(curve.jac_eq(jac, shifted))
     for i, e in enumerate(eqs):
         assert bool(e) == (pts[i] == pts[len(pts) - 1 - i])
+
+
+# ---------------------------------------------------------------------------
+# Complete projective (RCB) ops — the pipeline's production representation.
+# ---------------------------------------------------------------------------
+
+def _to_affine_proj_host(p):
+    return interop.proj_limbs_to_affine_points(*[np.asarray(v) for v in p])
+
+
+def test_proj_round_trip(sample):
+    _, pts, aff = sample
+    proj = curve.affine_to_proj(aff)
+    assert _to_affine_proj_host(proj) == pts
+    inf_mask = np.asarray(curve.proj_is_infinity(proj))
+    assert [bool(m) for m in inf_mask] == [p is None for p in pts]
+
+
+def test_proj_add_complete(sample):
+    """One code path covers generic add, doubling (equal points), inverses,
+    and the identity — RCB completeness."""
+    _, pts, aff = sample
+    proj = curve.affine_to_proj(aff)
+    rev = curve.ProjPoint(*(v[:, ::-1] for v in proj))
+    got = _to_affine_proj_host(curve.proj_add(proj, rev))
+    assert got == [oracle.ec_add(p, q) for p, q in zip(pts, pts[::-1])]
+    # self-add == doubling
+    got = _to_affine_proj_host(curve.proj_double(proj))
+    assert got == [oracle.ec_double(p) for p in pts]
+    # P + (-P) = infinity
+    got = _to_affine_proj_host(curve.proj_add(proj, curve.proj_neg(proj)))
+    assert got == [None] * len(pts)
+
+
+def test_proj_madd_complete(sample):
+    _, pts, aff = sample
+    proj = curve.affine_to_proj(aff)
+    aff_rev = curve.AffinePoint(*(v[:, ::-1] for v in aff))
+    got = _to_affine_proj_host(curve.proj_madd(proj, aff_rev))
+    assert got == [oracle.ec_add(p, q) for p, q in zip(pts, pts[::-1])]
+    neg = curve.AffinePoint(aff.x, field.neg_mod(aff.y))
+    assert _to_affine_proj_host(curve.proj_madd(proj, neg)) == [None] * len(pts)
+    # identity accumulator + affine point = the point
+    inf = curve.proj_infinity((aff.x.shape[1],))
+    assert _to_affine_proj_host(curve.proj_madd(inf, aff)) == pts
+
+
+def test_proj_eq(sample):
+    _, pts, aff = sample
+    proj = curve.affine_to_proj(aff)
+    d1 = curve.proj_double(proj)
+    d2 = curve.proj_add(proj, proj)
+    assert bool(curve.proj_eq(d1, d2).all())
+    shifted = curve.ProjPoint(*(v[:, ::-1] for v in proj))
+    eqs = np.asarray(curve.proj_eq(proj, shifted))
+    for i, e in enumerate(eqs):
+        assert bool(e) == (pts[i] == pts[len(pts) - 1 - i])

@@ -52,20 +52,24 @@ def test_window_digits(rng, c):
 # checked against the bucket-based oracle window sum.
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("c,n,lanes", [(4, 37, 8), (8, 100, 16), (8, 256, 64)])
+@pytest.mark.parametrize("c,n,lanes", [
+    (4, 37, 8),
+    pytest.param(8, 100, 16, marks=pytest.mark.slow),
+    pytest.param(8, 256, 64, marks=pytest.mark.slow),
+])
 def test_window_sum_vs_bucket_oracle(rng, c, n, lanes):
     scalars = _rand_scalars(rng, n)
     # Force digit collisions and empty buckets: small digit space at c=4,
     # plus duplicated points.
-    points = _gen_points([int(rng.randint(1, 1 << 20)) for _ in range(n // 2)] * 2)
-    points = points[:n]
+    points = _gen_points(
+        [int(rng.randint(1, 1 << 20)) for _ in range((n + 1) // 2)] * 2)[:n]
     cfg = MsmConfig(window_bits=c, scan_lanes=lanes)
     x, y = interop.affine_points_to_limbs(points)
     slimbs = jnp.asarray(interop.ints_to_limbs(scalars))
-    res = jax.jit(pippenger.msm_jacobian, static_argnums=2)(
+    res = jax.jit(pippenger.msm_projective, static_argnums=2)(
         curve.AffinePoint(jnp.asarray(x), jnp.asarray(y)), slimbs, cfg
     )
-    [got] = interop.jac_limbs_to_affine_points(*[np.asarray(v) for v in res])
+    [got] = interop.proj_limbs_to_affine_points(*[np.asarray(v) for v in res])
     exp = oracle.pippenger(scalars, points, c)
     assert got == exp
     # Cross-check the oracle itself against the naive MSM.
@@ -76,9 +80,9 @@ def test_ec_reduce(rng):
     ks = [int(rng.randint(1, 1 << 20)) for _ in range(23)]
     pts = _gen_points(ks)
     x, y = interop.affine_points_to_limbs(pts)
-    jac = curve.affine_to_jac(curve.AffinePoint(jnp.asarray(x), jnp.asarray(y)))
-    red = jax.jit(pippenger.ec_reduce)(jac)
-    [got] = interop.jac_limbs_to_affine_points(*[np.asarray(v) for v in red])
+    proj = curve.affine_to_proj(curve.AffinePoint(jnp.asarray(x), jnp.asarray(y)))
+    red = jax.jit(pippenger.ec_reduce)(proj)
+    [got] = interop.proj_limbs_to_affine_points(*[np.asarray(v) for v in red])
     assert got == oracle.ec_mul(oracle.GEN, sum(ks))
 
 
@@ -86,7 +90,11 @@ def test_ec_reduce(rng):
 # End-to-end MSM differential tests (reference: msm.rs:509-691)
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("n", [1, 2, 31, 32, 33, 100, 128])
+@pytest.mark.parametrize("n", [
+    1, 33,
+    pytest.param(100, marks=pytest.mark.slow),
+    128,
+])
 def test_msm_small_sizes(rng, n):
     scalars = _rand_scalars(rng, n)
     points = _gen_points([int(rng.randint(1, 1 << 25)) for _ in range(n)])
@@ -126,6 +134,7 @@ def test_msm_best_zero_filtering(rng):
     assert msm_best(scalars, pts) == oracle.msm(scalars, pts)
 
 
+@pytest.mark.slow
 def test_msm_c16_window_path(rng):
     """Exercise the c=16 (limb-aligned) window path on a small input."""
     n = 48

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import pytest
 
 from tpu_msm.ops import pippenger
-from tpu_msm.ops.curve import AffinePoint, jac_eq
+from tpu_msm.ops.curve import AffinePoint, proj_eq
 from tpu_msm.parallel import sharded
 from tpu_msm.utils import interop, oracle
 from tpu_msm.utils.config import MsmConfig
@@ -35,7 +35,7 @@ def _inputs(rng, n):
     return pts, scalars, jnp.asarray(px), jnp.asarray(py), jnp.asarray(sl)
 
 
-@pytest.mark.parametrize("ndev", [2, 8])
+@pytest.mark.parametrize("ndev", [2, pytest.param(8, marks=pytest.mark.slow)])
 def test_sharded_matches_single_device(rng, ndev):
     mesh = sharded.default_mesh(_cpu_devices(ndev))
     cfg = MsmConfig(window_bits=8, scan_lanes=8)
@@ -44,9 +44,9 @@ def test_sharded_matches_single_device(rng, ndev):
     with jax.default_device(jax.devices("cpu")[0]):
         res = sharded.msm_sharded(AffinePoint(px, py), sl, mesh=mesh, cfg=cfg)
         ref = pippenger.msm_jacobian(AffinePoint(px, py), sl, cfg)
-        assert bool(np.asarray(jac_eq(res, ref))[0])
+        assert bool(np.asarray(proj_eq(res, ref))[0])
     # and against the oracle
-    [got] = interop.jac_limbs_to_affine_points(*[np.asarray(a) for a in res])
+    [got] = interop.proj_limbs_to_affine_points(*[np.asarray(a) for a in res])
     assert got == oracle.msm(scalars, pts)
 
 
@@ -57,7 +57,7 @@ def test_sharded_padding(rng):
     pts, scalars, px, py, sl = _inputs(rng, 13)
     with jax.default_device(jax.devices("cpu")[0]):
         res = sharded.msm_sharded(AffinePoint(px, py), sl, mesh=mesh, cfg=cfg)
-    [got] = interop.jac_limbs_to_affine_points(*[np.asarray(a) for a in res])
+    [got] = interop.proj_limbs_to_affine_points(*[np.asarray(a) for a in res])
     assert got == oracle.msm(scalars, pts)
 
 

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from tpu_msm.models import bn254
 from tpu_msm.ops import pippenger
-from tpu_msm.ops.curve import AffinePoint, JacPoint
+from tpu_msm.ops.curve import AffinePoint, ProjPoint
 from tpu_msm.utils import interop
 from tpu_msm.utils.config import MsmConfig, select_config
 
@@ -48,10 +48,10 @@ CPU_THRESHOLD = int(_os.environ.get("TPU_MSM_CPU_THRESHOLD", 1 << 13))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def msm_device(px, py, scalar_limbs, cfg: MsmConfig) -> JacPoint:
+def msm_device(px, py, scalar_limbs, cfg: MsmConfig) -> ProjPoint:
     """Jitted device MSM on limb arrays. px/py: (16, N) Montgomery affine
-    coords; scalar_limbs: (16, N) standard form. Returns JacPoint (16, 1)."""
-    return pippenger.msm_jacobian(AffinePoint(px, py), scalar_limbs, cfg)
+    coords; scalar_limbs: (16, N) standard form. Returns ProjPoint (16, 1)."""
+    return pippenger.msm_projective(AffinePoint(px, py), scalar_limbs, cfg)
 
 
 def msm(
@@ -87,7 +87,7 @@ def msm(
     if cfg is None:
         cfg = select_config(n)
     res = msm_device(jnp.asarray(px), jnp.asarray(py), jnp.asarray(slimbs), cfg)
-    [pt] = interop.jac_limbs_to_affine_points(
+    [pt] = interop.proj_limbs_to_affine_points(
         np.asarray(res.x), np.asarray(res.y), np.asarray(res.z)
     )
     return pt

@@ -71,21 +71,132 @@ def _run_cpu(inst):
 def _jac_to_affine(res):
     from tpu_msm.utils import interop
 
-    [pt] = interop.jac_limbs_to_affine_points(
+    [pt] = interop.proj_limbs_to_affine_points(
         np.asarray(res.x), np.asarray(res.y), np.asarray(res.z)
     )
     return pt
 
 
+def check_kernels() -> int:
+    """Differential-check every Pallas EC kernel against the jnp curve ops on
+    the current default device. Same checks as tests/test_pallas_kernels.py,
+    but against the real compiled kernels (the CPU suite can only afford
+    interpret mode, which is itself minutes-slow per kernel on small hosts).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_msm.models import bn254
+    from tpu_msm.ops import curve, field
+    from tpu_msm.ops import pallas_curve as pc
+    from tpu_msm.ops.curve import AffinePoint, JacPoint, ProjPoint
+    from tpu_msm.utils import interop, oracle
+
+    lanes = 1024
+    rng = np.random.RandomState(5150)
+
+    def points(n):
+        ks = [int(rng.randint(1, 1 << 16)) for _ in range(n)]
+        pts = [oracle.ec_mul(oracle.GEN, k) for k in ks]
+        for i in range(0, n, 97):  # sprinkle infinities
+            pts[i] = None
+        x, y = interop.affine_points_to_limbs(pts)
+        return jnp.asarray(x), jnp.asarray(y)
+
+    ax, ay = points(lanes)
+    bx, by = points(lanes)
+    # Edge lanes: equal points (doubling) and inverses (cancellation).
+    bx = bx.at[:, 256:384].set(ax[:, 256:384])
+    by = by.at[:, 256:384].set(ay[:, 256:384])
+    bx = bx.at[:, 384:512].set(ax[:, 384:512])
+    by = by.at[:, 384:512].set(field.neg_mod(ay[:, 384:512]))
+    p_aff, q_aff = AffinePoint(ax, ay), AffinePoint(bx, by)
+    pk = pc.pack_lanes
+
+    failures = []
+
+    def verify(name, got, want, eq):
+        ok = bool(np.asarray(jax.jit(eq)(got, want)).all())
+        log.info("kernel %-18s %s", name, "OK" if ok else "MISMATCH")
+        if not ok:
+            failures.append(name)
+
+    p = curve.affine_to_proj(p_aff)
+    q = curve.affine_to_proj(q_aff)
+    res = pc.pmadd_packed(pk(p.x), pk(p.y), pk(p.z), pk(q_aff.x), pk(q_aff.y))
+    verify("pmadd_packed", ProjPoint(*(pc.unpack_lanes(r) for r in res)),
+           curve.proj_madd(p, q_aff), curve.proj_eq)
+
+    res = pc.padd_packed(pk(p.x), pk(p.y), pk(p.z), pk(q.x), pk(q.y), pk(q.z))
+    verify("padd_packed", ProjPoint(*(pc.unpack_lanes(r) for r in res)),
+           curve.proj_add(p, q), curve.proj_eq)
+
+    pj = curve.affine_to_jac(p_aff)
+    qj = curve.affine_to_jac(q_aff)
+    res = pc.madd_packed(pk(pj.x), pk(pj.y), pk(pj.z), pk(q_aff.x), pk(q_aff.y))
+    verify("madd_packed", JacPoint(*(pc.unpack_lanes(r) for r in res)),
+           curve.jac_add_affine(pj, q_aff), curve.jac_eq)
+
+    res = pc.add_packed(pk(pj.x), pk(pj.y), pk(pj.z), pk(qj.x), pk(qj.y), pk(qj.z))
+    verify("add_packed", JacPoint(*(pc.unpack_lanes(r) for r in res)),
+           curve.jac_add(pj, qj), curve.jac_eq)
+
+    steps = 3
+    r = lanes // pc.LANE
+    sx, sy = zip(*(points(lanes) for _ in range(steps)))
+    gx = jnp.stack([a.reshape(bn254.LIMBS, r, pc.LANE) for a in sx])
+    gy = jnp.stack([a.reshape(bn254.LIMBS, r, pc.LANE) for a in sy])
+    ox, oy, oz = pc.scan_madd_packed(gx, gy)
+    acc = curve.proj_infinity((lanes,))
+    ok = True
+    for k in range(steps):
+        acc = curve.proj_madd(acc, AffinePoint(sx[k], sy[k]))
+        got = ProjPoint(*(a[k].reshape(bn254.LIMBS, lanes) for a in (ox, oy, oz)))
+        ok &= bool(np.asarray(jax.jit(curve.proj_eq)(got, acc)).all())
+    log.info("kernel %-18s %s", "scan_madd_packed", "OK" if ok else "MISMATCH")
+    if not ok:
+        failures.append("scan_madd_packed")
+
+    projs = [curve.proj_double(curve.affine_to_proj(AffinePoint(x, y)))
+             for x, y in zip(sx, sy)]
+    bx_, by_, bz_ = (jnp.stack([getattr(pt, f).reshape(bn254.LIMBS, r, pc.LANE)
+                                for pt in projs]) for f in ("x", "y", "z"))
+    fx, fy, fz = pc.fold_add_packed(bx_, by_, bz_)
+    acc = curve.proj_infinity((lanes,))
+    for pt in projs:
+        acc = curve.proj_add(acc, pt)
+    verify("fold_add_packed",
+           ProjPoint(*(a.reshape(bn254.LIMBS, lanes) for a in (fx, fy, fz))),
+           acc, curve.proj_eq)
+
+    if failures:
+        log.error("kernel check FAILED: %s", ", ".join(failures))
+        return 1
+    log.info("all Pallas kernels match the jnp reference ✓")
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("log_instance_size", type=int)
+    ap.add_argument("log_instance_size", type=int, nargs="?")
     ap.add_argument("num_instances", type=int, nargs="?", default=1)
     ap.add_argument("run_mode", nargs="?", default="tpu",
                     choices=["tpu", "sharded", "best", "cpu", "check"])
     ap.add_argument("retries", type=int, nargs="?", default=1)
     ap.add_argument("-v", "--verbose", action="store_true")
+    ap.add_argument("--check-kernels", action="store_true",
+                    help="differential-check the Pallas kernels on this "
+                         "device and exit")
     args = ap.parse_args(argv)
+
+    if args.check_kernels:
+        logging.basicConfig(
+            level=logging.DEBUG if args.verbose else logging.INFO,
+            format="%(asctime)s %(name)s %(levelname)s %(message)s",
+        )
+        return check_kernels()
+    if args.log_instance_size is None:
+        ap.error("log_instance_size is required unless --check-kernels")
 
     logging.basicConfig(
         level=logging.DEBUG if args.verbose else logging.INFO,

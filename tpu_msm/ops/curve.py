@@ -285,3 +285,117 @@ def generator(batch_shape=()) -> AffinePoint:
         (bn254.LIMBS, *batch_shape),
     )
     return AffinePoint(gx, gy)
+
+
+# ---------------------------------------------------------------------------
+# Complete homogeneous-projective arithmetic (Renes–Costello–Batina 2015,
+# "Complete addition formulas for prime order elliptic curves", Algorithms
+# 7/8 specialized to a = 0, b3 = 3b = 9). These formulas are COMPLETE by
+# construction — one code path covers doubling, inverses, and the identity
+# (0 : 1 : 0) with no per-lane branching at all, unlike the Jacobian ops
+# above (and the reference's branching ECPoint, ec_point.h.metal:13-69).
+# The MSM pipeline runs on these; the Jacobian ops remain for parity tests.
+# ---------------------------------------------------------------------------
+
+class ProjPoint(NamedTuple):
+    x: jax.Array
+    y: jax.Array
+    z: jax.Array
+
+
+def proj_infinity(batch_shape) -> ProjPoint:
+    return ProjPoint(field.zero(batch_shape), field.one_mont(batch_shape),
+                     field.zero(batch_shape))
+
+
+def proj_is_infinity(p: ProjPoint):
+    return field.is_zero(p.z)
+
+
+def proj_neg(p: ProjPoint) -> ProjPoint:
+    return ProjPoint(p.x, neg_mod(p.y), p.z)
+
+
+def affine_to_proj(p: AffinePoint) -> ProjPoint:
+    """(0, 0) affine sentinel -> (0 : 1 : 0)."""
+    inf = affine_is_infinity(p)
+    one = field.one_mont(p.x.shape[1:])
+    zero = field.zero(p.x.shape[1:])
+    return ProjPoint(p.x, field.select(inf, one, p.y),
+                     field.select(inf, zero, one))
+
+
+def _mul9(a):
+    """9·a mod P via an add chain (b3 = 3b = 9 for BN254)."""
+    return add_mod(double_mod(double_mod(double_mod(a))), a)
+
+
+def proj_add(p: ProjPoint, q: ProjPoint) -> ProjPoint:
+    """RCB Algorithm 7 (a = 0): complete projective addition, 12 muls in two
+    stacked multiplies (field.mont_mul_many)."""
+    t0, t1, t2, a, b, c = field.mont_mul_many([
+        (p.x, q.x), (p.y, q.y), (p.z, q.z),
+        (add_mod(p.x, p.y), add_mod(q.x, q.y)),
+        (add_mod(p.x, p.z), add_mod(q.x, q.z)),
+        (add_mod(p.y, p.z), add_mod(q.y, q.z)),
+    ])
+    t3 = sub_mod(sub_mod(a, t0), t1)        # X1Y2 + X2Y1
+    t4 = sub_mod(sub_mod(c, t1), t2)        # Y1Z2 + Y2Z1
+    y3t = sub_mod(sub_mod(b, t0), t2)       # X1Z2 + X2Z1
+    t0 = add_mod(double_mod(t0), t0)        # 3·X1X2
+    t2 = _mul9(t2)                          # b3·Z1Z2
+    z3t = add_mod(t1, t2)
+    t1 = sub_mod(t1, t2)
+    y3p = _mul9(y3t)                        # b3·(X1Z2 + X2Z1)
+    x3a, tt, y3a, u, v, w = field.mont_mul_many([
+        (t4, y3p), (t3, t1), (y3p, t0), (t1, z3t), (t0, t3), (z3t, t4),
+    ])
+    return ProjPoint(sub_mod(tt, x3a), add_mod(u, y3a), add_mod(w, v))
+
+
+def proj_madd(p: ProjPoint, q: AffinePoint) -> ProjPoint:
+    """RCB Algorithm 8 (a = 0): complete mixed addition (q finite, Z2 = 1) —
+    11 muls in two stacked multiplies; the (0, 0) infinity sentinel for q is
+    handled by one trailing select."""
+    t0, t1, a, d, e = field.mont_mul_many([
+        (p.x, q.x), (p.y, q.y),
+        (add_mod(p.x, p.y), add_mod(q.x, q.y)),
+        (q.y, p.z), (q.x, p.z),
+    ])
+    t3 = sub_mod(sub_mod(a, t0), t1)        # X1Y2 + X2Y1
+    t4 = add_mod(d, p.y)                    # Y1 + Y2Z1
+    y3t = add_mod(e, p.x)                   # X1 + X2Z1
+    t0 = add_mod(double_mod(t0), t0)        # 3·X1X2
+    t2 = _mul9(p.z)                         # b3·Z1
+    z3t = add_mod(t1, t2)
+    t1 = sub_mod(t1, t2)
+    y3p = _mul9(y3t)
+    x3a, tt, y3a, u, v, w = field.mont_mul_many([
+        (t4, y3p), (t3, t1), (y3p, t0), (t1, z3t), (t0, t3), (z3t, t4),
+    ])
+    out = ProjPoint(sub_mod(tt, x3a), add_mod(u, y3a), add_mod(w, v))
+    return select_point(affine_is_infinity(q), ProjPoint(p.x, p.y, p.z), out)
+
+
+def proj_double(p: ProjPoint) -> ProjPoint:
+    """Complete doubling via self-addition (Alg 7 handles P + P exactly)."""
+    return proj_add(p, p)
+
+
+def proj_to_affine(p: ProjPoint) -> AffinePoint:
+    """Normalize to affine Montgomery coords; infinity -> (0, 0)."""
+    zinv = field.inv_mont(p.z)
+    x = mont_mul(p.x, zinv)
+    y = mont_mul(p.y, zinv)
+    inf = proj_is_infinity(p)
+    zero = field.zero(p.x.shape[1:])
+    return AffinePoint(field.select(inf, zero, x), field.select(inf, zero, y))
+
+
+def proj_eq(p: ProjPoint, q: ProjPoint):
+    """Projective equality: X1Z2 == X2Z1 and Y1Z2 == Y2Z1 (+ infinity cases)."""
+    x_eq = field.eq(mont_mul(p.x, q.z), mont_mul(q.x, p.z))
+    y_eq = field.eq(mont_mul(p.y, q.z), mont_mul(q.y, p.z))
+    inf_p = proj_is_infinity(p)
+    inf_q = proj_is_infinity(q)
+    return (inf_p & inf_q) | (~inf_p & ~inf_q & x_eq & y_eq)

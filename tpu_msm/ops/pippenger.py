@@ -42,7 +42,7 @@ import jax.numpy as jnp
 
 from tpu_msm.models import bn254
 from tpu_msm.ops import curve, field, u256
-from tpu_msm.ops.curve import AffinePoint, JacPoint
+from tpu_msm.ops.curve import AffinePoint, JacPoint, ProjPoint
 from tpu_msm.utils.config import MsmConfig, resolve_backend, select_config
 
 
@@ -59,34 +59,39 @@ def _ceil_log2(x: int) -> int:
 
 _PALLAS_MIN_WIDTH = 1024
 
+# Widest lane count the whole-stage fused kernels (scan_madd_packed /
+# fold_add_packed) accept: VMEM must hold 3 accumulator coords + in/out
+# blocks with double buffering (~7 MB at 8192 lanes, 16 MB/core budget).
+_FUSED_MAX_LANES = 8192
+
 
 def _use_pallas(backend: str, width: int) -> bool:
     return (backend == "pallas" and width >= _PALLAS_MIN_WIDTH
             and width % _PALLAS_MIN_WIDTH == 0)
 
 
-def ec_madd(acc: JacPoint, pt: AffinePoint, backend: str) -> JacPoint:
-    """Complete mixed add, backend-dispatched on batch width (last dim)."""
+def ec_madd(acc: ProjPoint, pt: AffinePoint, backend: str) -> ProjPoint:
+    """Complete projective mixed add (RCB), dispatched on batch width."""
     if _use_pallas(backend, acc.x.shape[-1]):
         from tpu_msm.ops import pallas_curve as pc
 
-        res = pc.madd_packed(
+        res = pc.pmadd_packed(
             pc.pack_lanes(acc.x), pc.pack_lanes(acc.y), pc.pack_lanes(acc.z),
             pc.pack_lanes(pt.x), pc.pack_lanes(pt.y))
-        return JacPoint(*(pc.unpack_lanes(r) for r in res))
-    return curve.jac_add_affine(acc, pt)
+        return ProjPoint(*(pc.unpack_lanes(r) for r in res))
+    return curve.proj_madd(acc, pt)
 
 
-def ec_add(p: JacPoint, q: JacPoint, backend: str) -> JacPoint:
-    """Complete Jacobian add, backend-dispatched on batch width (last dim)."""
+def ec_add(p: ProjPoint, q: ProjPoint, backend: str) -> ProjPoint:
+    """Complete projective add (RCB), dispatched on batch width."""
     if _use_pallas(backend, p.x.shape[-1]):
         from tpu_msm.ops import pallas_curve as pc
 
-        res = pc.add_packed(
+        res = pc.padd_packed(
             pc.pack_lanes(p.x), pc.pack_lanes(p.y), pc.pack_lanes(p.z),
             pc.pack_lanes(q.x), pc.pack_lanes(q.y), pc.pack_lanes(q.z))
-        return JacPoint(*(pc.unpack_lanes(r) for r in res))
-    return curve.jac_add(p, q)
+        return ProjPoint(*(pc.unpack_lanes(r) for r in res))
+    return curve.proj_add(p, q)
 
 
 def window_digits(scalar_limbs, cfg: MsmConfig):
@@ -109,45 +114,55 @@ def window_digits(scalar_limbs, cfg: MsmConfig):
     )
 
 
-def _lane_inclusive_scan(totals: JacPoint, lanes: int, backend: str = "jnp") -> JacPoint:
+def _lane_inclusive_scan(totals: ProjPoint, lanes: int, backend: str = "jnp") -> ProjPoint:
     """Hillis–Steele inclusive EC scan across the lane axis (last axis)."""
     lane_idx = jnp.arange(lanes)
 
     def level(i, t):
         sh = jnp.left_shift(jnp.int32(1), i)
-        rolled = JacPoint(*(jnp.roll(a, sh, axis=-1) for a in t))
+        rolled = ProjPoint(*(jnp.roll(a, sh, axis=-1) for a in t))
         added = ec_add(t, rolled, backend)
         return curve.select_point(lane_idx >= sh, added, t)
 
     return jax.lax.fori_loop(0, _ceil_log2(lanes), level, totals)
 
 
-def _sequential_fold(pts: JacPoint, lanes: int, steps: int, backend: str = "jnp") -> JacPoint:
-    """EC-sum groups of `steps` consecutive points: (16, lanes*steps) -> (16, lanes)."""
-    grouped = JacPoint(*(a.reshape(bn254.LIMBS, lanes, steps) for a in pts))
+def _sequential_fold(pts: ProjPoint, lanes: int, steps: int, backend: str = "jnp") -> ProjPoint:
+    """EC-sum `steps` groups of points down to one group: (16, lanes*steps)
+    -> (16, lanes). Point→lane grouping differs between the two paths, which
+    is fine — every caller reduces over the lane axis afterwards."""
+    if _use_pallas(backend, lanes) and lanes <= _FUSED_MAX_LANES:
+        from tpu_msm.ops import pallas_curve as pc
+
+        r = lanes // pc.LANE
+        arrs = [jnp.moveaxis(a.reshape(bn254.LIMBS, steps, lanes), 1, 0)
+                .reshape(steps, bn254.LIMBS, r, pc.LANE) for a in pts]
+        res = pc.fold_add_packed(*arrs)
+        return ProjPoint(*(a.reshape(bn254.LIMBS, lanes) for a in res))
+    grouped = ProjPoint(*(a.reshape(bn254.LIMBS, lanes, steps) for a in pts))
 
     def body(k, acc):
-        nxt = JacPoint(*(a[:, :, k] for a in grouped))
+        nxt = ProjPoint(*(a[:, :, k] for a in grouped))
         return ec_add(acc, nxt, backend)
 
-    return jax.lax.fori_loop(0, steps, body, curve.jac_infinity((lanes,)))
+    return jax.lax.fori_loop(0, steps, body, curve.proj_infinity((lanes,)))
 
 
-def _roll_reduce(pts: JacPoint, width: int, backend: str) -> JacPoint:
+def _roll_reduce(pts: ProjPoint, width: int, backend: str) -> ProjPoint:
     """EC-sum of (16, width) -> (16, 1) via log2(width) full-width rolled
     adds (after level k, lane i holds the wrapped sum of lanes [i, i+2^k);
     lane 0 ends with the total). Fixed width at every level — one Pallas
     kernel shape instead of a shrinking-shape cascade."""
     def level(i, t):
         sh = jnp.left_shift(jnp.int32(1), i)
-        rolled = JacPoint(*(jnp.roll(a, -sh, axis=-1) for a in t))
+        rolled = ProjPoint(*(jnp.roll(a, -sh, axis=-1) for a in t))
         return ec_add(t, rolled, backend)
 
     out = jax.lax.fori_loop(0, _ceil_log2(width), level, pts)
-    return JacPoint(*(a[..., :1] for a in out))
+    return ProjPoint(*(a[..., :1] for a in out))
 
 
-def ec_reduce(pts: JacPoint, fanout: int = 256, backend: str = "jnp") -> JacPoint:
+def ec_reduce(pts: ProjPoint, fanout: int = 256, backend: str = "jnp") -> ProjPoint:
     """EC-sum of a (16, B) batch of Jacobian points -> (16, 1).
 
     Sequential folds down to `fanout` lanes, then a fixed-width rolled tree.
@@ -157,8 +172,8 @@ def ec_reduce(pts: JacPoint, fanout: int = 256, backend: str = "jnp") -> JacPoin
     b = pts.x.shape[-1]
     b_pad = 1 << _ceil_log2(max(b, 1))
     if b_pad != b:
-        inf = curve.jac_infinity((b_pad - b,))
-        pts = JacPoint(*(jnp.concatenate([a, i], axis=-1) for a, i in zip(pts, inf)))
+        inf = curve.proj_infinity((b_pad - b,))
+        pts = ProjPoint(*(jnp.concatenate([a, i], axis=-1) for a, i in zip(pts, inf)))
         b = b_pad
     if b > fanout:
         pts = _sequential_fold(pts, fanout, b // fanout, backend)
@@ -166,40 +181,61 @@ def ec_reduce(pts: JacPoint, fanout: int = 256, backend: str = "jnp") -> JacPoin
     return _roll_reduce(pts, b, backend)
 
 
-def _msm_window(sorted_digits, sorted_idx, px, py, n: int, cfg: MsmConfig) -> JacPoint:
-    """Window sum for one window given digit-sorted order. Returns (16, 1)."""
+def _msm_window(digits, px, py, n: int, cfg: MsmConfig) -> ProjPoint:
+    """Window sum for one window. Returns (16, 1).
+
+    digits: (n_pad,) this window's digits (padding positions carry the 2^c
+    sentinel and infinity points). px, py: (16, n_pad) padded coordinates.
+    """
     c = cfg.window_bits
     m = cfg.buckets_per_window()
-    n_pad = sorted_digits.shape[0]
+    n_pad = digits.shape[0]
     lanes = cfg.scan_lanes
     steps = n_pad // lanes
+    backend = cfg.backend
 
-    # Gather points into digit-sorted order (stage-2/3 boundary: the
-    # reference sorts (bucket, point_idx) pairs and binary-searches segments;
-    # we materialize the sorted point stream once).
+    # Sort (digit, index) pairs on device, then gather the point stream into
+    # digit order (the reference sorts (bucket, point_idx) pairs on the CPU
+    # and binary-searches segments, sort_buckets.rs:19-30). Carrying the 32
+    # coordinate rows as sort payload instead looks cheaper on paper, but a
+    # 33-operand variadic lax.sort sends the XLA:TPU compiler into the
+    # weeds (>1 h compile at 2^17); key+index sort plus one gather per
+    # coordinate compiles in seconds and runs at HBM speed.
+    idx0 = jnp.arange(n_pad, dtype=jnp.int32)
+    idx0 = jnp.where(idx0 >= n, n, idx0)  # pads point at the infinity column
+    sorted_digits, sorted_idx = jax.lax.sort_key_val(digits, idx0)
     gx = jnp.take(px, sorted_idx, axis=1).reshape(bn254.LIMBS, lanes, steps)
     gy = jnp.take(py, sorted_idx, axis=1).reshape(bn254.LIMBS, lanes, steps)
-    # Scan axis must lead for lax.scan.
+    # Scan axis must lead.
     gx = jnp.moveaxis(gx, 2, 0)  # (steps, 16, lanes)
     gy = jnp.moveaxis(gy, 2, 0)
 
-    backend = cfg.backend
+    if _use_pallas(backend, lanes) and lanes <= _FUSED_MAX_LANES:
+        # Whole scan as ONE pallas_call: accumulator in VMEM scratch across
+        # all steps (vs one kernel launch + acc HBM round-trip per step).
+        from tpu_msm.ops import pallas_curve as pc
 
-    def step(acc, pt_xy):
-        sx, sy = pt_xy
-        acc = ec_madd(acc, AffinePoint(sx, sy), backend)
-        return acc, acc
+        r = lanes // pc.LANE
+        ys_t = pc.scan_madd_packed(
+            gx.reshape(steps, bn254.LIMBS, r, pc.LANE),
+            gy.reshape(steps, bn254.LIMBS, r, pc.LANE))
+        ys = ProjPoint(*(a.reshape(steps, bn254.LIMBS, lanes) for a in ys_t))
+    else:
+        def step(acc, pt_xy):
+            sx, sy = pt_xy
+            acc = ec_madd(acc, AffinePoint(sx, sy), backend)
+            return acc, acc
 
-    _, ys = jax.lax.scan(step, curve.jac_infinity((lanes,)), (gx, gy))
-    # ys: JacPoint of (steps, 16, lanes) — per-lane inclusive local scans.
+        _, ys = jax.lax.scan(step, curve.proj_infinity((lanes,)), (gx, gy))
+    # ys: ProjPoint of (steps, 16, lanes) — per-lane inclusive local scans.
 
-    totals = JacPoint(*(a[-1] for a in ys))
+    totals = ProjPoint(*(a[-1] for a in ys))
     inc = _lane_inclusive_scan(totals, lanes, backend)
     lane_idx = jnp.arange(lanes)
     carry = curve.select_point(
         lane_idx >= 1,
-        JacPoint(*(jnp.roll(a, 1, axis=-1) for a in inc)),
-        curve.jac_infinity((lanes,)),
+        ProjPoint(*(jnp.roll(a, 1, axis=-1) for a in inc)),
+        curve.proj_infinity((lanes,)),
     )  # exclusive inter-lane carries
 
     # Bucket segment starts via histogram + exclusive cumsum (the reference
@@ -213,20 +249,21 @@ def _msm_window(sorted_digits, sorted_idx, px, py, n: int, cfg: MsmConfig) -> Ja
     pos = jnp.maximum(queries, 1) - 1
     lq = (pos // steps).astype(jnp.int32)
     kq = (pos % steps).astype(jnp.int32)
-    local = JacPoint(*(jnp.moveaxis(a[kq, :, lq], 0, 1) for a in ys))  # (16, M+1)
-    lane_carry = JacPoint(*(a[:, lq] for a in carry))
+    local = ProjPoint(*(jnp.moveaxis(a[kq, :, lq], 0, 1) for a in ys))  # (16, M+1)
+    lane_carry = ProjPoint(*(a[:, lq] for a in carry))
     xvals = ec_add(lane_carry, local, backend)
-    xvals = curve.select_point(is_zero, curve.jac_infinity((m + 1,)), xvals)
+    xvals = curve.select_point(is_zero, curve.proj_infinity((m + 1,)), xvals)
 
-    x_n = JacPoint(*(a[:, m:] for a in xvals))          # X(n), batch (1,)
-    x_starts = JacPoint(*(a[:, :m] for a in xvals))     # X(s_b), b = 1..M
+    x_n = ProjPoint(*(a[:, m:] for a in xvals))          # X(n), batch (1,)
+    x_starts = ProjPoint(*(a[:, :m] for a in xvals))     # X(s_b), b = 1..M
     sum_starts = ec_reduce(x_starts, cfg.reduce_fanout, backend)
 
     # window_sum = M * X(n) - sum_b X(s_b), with M = 2^c - 1 all-ones.
-    return curve.jac_add(curve.mul_all_ones(x_n, c), curve.jac_neg(sum_starts))
+    return ec_add(_mul_all_ones(x_n, c, backend), curve.proj_neg(sum_starts),
+                  backend)
 
 
-def window_sums(points: AffinePoint, scalar_limbs, cfg: MsmConfig) -> JacPoint:
+def window_sums(points: AffinePoint, scalar_limbs, cfg: MsmConfig) -> ProjPoint:
     """Per-window sums Σ_b b·bucket_b for every window. Returns (W, 16, 1).
 
     This is the shardable core: window sums are linear over the multiset of
@@ -235,6 +272,9 @@ def window_sums(points: AffinePoint, scalar_limbs, cfg: MsmConfig) -> JacPoint:
     Reference analogue: stages 1-4 of exec_metal_commands (msm.rs:189-213).
     """
     n = points.x.shape[1]
+    if scalar_limbs.shape[1] != n:
+        raise ValueError(
+            f"points ({n}) and scalars ({scalar_limbs.shape[1]}) differ in count")
     c = cfg.window_bits
     w = cfg.num_windows()
     lanes = min(cfg.scan_lanes, 1 << _ceil_log2(max(n, 1)))
@@ -246,21 +286,32 @@ def window_sums(points: AffinePoint, scalar_limbs, cfg: MsmConfig) -> JacPoint:
 
     digits = window_digits(scalar_limbs, cfg)  # (W, N)
     if n_pad != n:
+        # Padding: sentinel digit 2^c (sorts last, dropped bin); the padded
+        # indices point at the appended infinity column below — both
+        # absorbed by the window reduction.
         digits = jnp.pad(digits, ((0, 0), (0, n_pad - n)),
                          constant_values=jnp.uint32(1 << c))
     # Appended infinity column backs the padded indices.
     px = jnp.concatenate([points.x, field.zero((1,))], axis=1)
     py = jnp.concatenate([points.y, field.zero((1,))], axis=1)
 
-    idx0 = jnp.broadcast_to(jnp.arange(n_pad, dtype=jnp.int32)[None], (w, n_pad))
-    idx0 = jnp.where(idx0 >= n, n, idx0)  # pads point at the infinity column
-    sorted_digits, sorted_idx = jax.lax.sort_key_val(digits, idx0, dimension=-1)
-
     window_fn = functools.partial(_msm_window, px=px, py=py, n=n, cfg=cfg)
-    return jax.lax.map(lambda args: window_fn(*args), (sorted_digits, sorted_idx))
+    return jax.lax.map(window_fn, digits)
 
 
-def horner_fold(wsums: JacPoint, c: int) -> JacPoint:
+def _mul_all_ones(p: ProjPoint, c: int, backend: str) -> ProjPoint:
+    """(2^c - 1)·p via c-1 rounds of acc = 2·acc + p (all-ones exponent);
+    doubling is a complete self-add (curve.proj_double)."""
+    if c <= 1:
+        return p
+
+    def body(_, acc):
+        return ec_add(ec_add(acc, acc, backend), p, backend)
+
+    return jax.lax.fori_loop(0, c - 1, body, p)
+
+
+def horner_fold(wsums: ProjPoint, c: int) -> ProjPoint:
     """Fold (W, 16, 1) window sums into the MSM result: top window first,
     c doublings between windows (reference: final_accumulation.rs:19-39 —
     there a CPU loop over readback; here an on-device fori_loop)."""
@@ -270,19 +321,19 @@ def horner_fold(wsums: JacPoint, c: int) -> JacPoint:
         widx = w - 2 - i
 
         def dbl(_, a):
-            return curve.jac_double(a)
+            return curve.proj_double(a)
 
         acc = jax.lax.fori_loop(0, c, dbl, acc)
-        nxt = JacPoint(*(jax.lax.dynamic_index_in_dim(a, widx, 0, keepdims=False)
+        nxt = ProjPoint(*(jax.lax.dynamic_index_in_dim(a, widx, 0, keepdims=False)
                          for a in wsums))
-        return curve.jac_add(acc, nxt)
+        return curve.proj_add(acc, nxt)
 
-    top = JacPoint(*(a[-1] for a in wsums))
+    top = ProjPoint(*(a[-1] for a in wsums))
     return jax.lax.fori_loop(0, w - 1, horner, top)
 
 
-def msm_jacobian(points: AffinePoint, scalar_limbs, cfg: MsmConfig | None = None) -> JacPoint:
-    """Full MSM: sum_i scalars[i] * points[i] as a Jacobian point, batch (1,).
+def msm_projective(points: AffinePoint, scalar_limbs, cfg: MsmConfig | None = None) -> ProjPoint:
+    """Full MSM: sum_i scalars[i] * points[i] as a projective point, batch (1,).
 
     points: AffinePoint of (16, N) Montgomery-form coords ((0,0) = infinity).
     scalar_limbs: (16, N) standard-form scalars.
@@ -292,3 +343,8 @@ def msm_jacobian(points: AffinePoint, scalar_limbs, cfg: MsmConfig | None = None
     if cfg is None:
         cfg = select_config(points.x.shape[1])
     return horner_fold(window_sums(points, scalar_limbs, cfg), cfg.window_bits)
+
+
+# Historical name from the Jacobian-based pipeline; the result is now a
+# homogeneous-projective ProjPoint (RCB complete formulas).
+msm_jacobian = msm_projective

@@ -26,43 +26,51 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from tpu_msm.ops import curve, pippenger
-from tpu_msm.ops.curve import AffinePoint, JacPoint
+from tpu_msm.ops.curve import AffinePoint, ProjPoint
 from tpu_msm.utils.config import MsmConfig, select_config
 
 
-def _tree_reduce_leading(pts: JacPoint) -> JacPoint:
-    """EC-sum over the leading axis of a (D, 16, B) JacPoint, log-depth.
+def _tree_reduce_last(pts: ProjPoint) -> ProjPoint:
+    """EC-sum over the trailing axis of a limbs-first (16, W, D) ProjPoint,
+    log-depth. The field/curve ops require the limb axis LEADING — feeding
+    them a device-leading (D, W, 16, 1) layout silently broadcasts limb
+    constants against the wrong axis and corrupts the math.
 
     D is a trace-time constant (the mesh size), so the tree is unrolled; the
     reduction order is a fixed balanced tree → bit-determinism across runs.
+    Returns (16, W, 1).
     """
-    d = pts.x.shape[0]
+    d = pts.x.shape[-1]
     while d > 1:
         half = d // 2
-        lo = JacPoint(*(a[:half] for a in pts))
-        hi = JacPoint(*(a[half : 2 * half] for a in pts))
-        merged = curve.jac_add(lo, hi)
+        lo = ProjPoint(*(a[..., :half] for a in pts))
+        hi = ProjPoint(*(a[..., half : 2 * half] for a in pts))
+        merged = curve.proj_add(lo, hi)
         if d % 2:
-            merged = JacPoint(
-                *(jnp.concatenate([m, a[-1:]], axis=0) for m, a in zip(merged, pts))
+            merged = ProjPoint(
+                *(jnp.concatenate([m, a[..., -1:]], axis=-1)
+                  for m, a in zip(merged, pts))
             )
         pts = merged
         d = (d + 1) // 2
-    return JacPoint(*(a[0] for a in pts))
+    return pts
 
 
-def _local_step(px, py, slimbs, cfg: MsmConfig, axis: str) -> JacPoint:
+def _local_step(px, py, slimbs, cfg: MsmConfig, axis: str) -> ProjPoint:
     """Per-chip body: local window sums -> all_gather -> tree add -> Horner."""
     wsums = pippenger.window_sums(AffinePoint(px, py), slimbs, cfg)  # (W,16,1)
-    gathered = JacPoint(
-        *(jax.lax.all_gather(a, axis, axis=0) for a in wsums)
-    )  # (D, W, 16, 1)
-    total = _tree_reduce_leading(gathered)  # (W, 16, 1)
+    gathered = ProjPoint(
+        *(jax.lax.all_gather(a[..., 0], axis, axis=2)
+          for a in wsums)
+    )  # (W, 16, D)
+    gathered = ProjPoint(*(jnp.moveaxis(a, 0, 1) for a in gathered))  # (16,W,D)
+    total = _tree_reduce_last(gathered)  # (16, W, 1)
+    total = ProjPoint(*(jnp.moveaxis(a, 0, 1) for a in total))  # (W, 16, 1)
     return pippenger.horner_fold(total, cfg.window_bits)
 
 
 def make_sharded_msm(mesh: Mesh, cfg: MsmConfig, axis: str = "data"):
-    """Build a jitted sharded MSM: (px, py, scalar_limbs) -> JacPoint (16, 1).
+    """Build a jitted sharded MSM: (px, py, scalar_limbs) -> ProjPoint (16, 1).
 
     Inputs are (16, N) limb arrays with N divisible by the mesh axis size;
     they are sharded along N (in_specs P(None, axis)); the result is
@@ -94,7 +102,7 @@ def default_mesh(devices=None, axis: str = "data") -> Mesh:
 
 
 def msm_sharded(points: AffinePoint, scalar_limbs, mesh: Mesh | None = None,
-                cfg: MsmConfig | None = None, axis: str = "data") -> JacPoint:
+                cfg: MsmConfig | None = None, axis: str = "data") -> ProjPoint:
     """One-call sharded MSM (convenience wrapper; jits per (mesh, cfg, shape)).
 
     Pads N up to a multiple of the mesh size with zero scalars on the infinity

@@ -90,6 +90,25 @@ def limbs_to_affine_points(x_limbs, y_limbs, mont: bool = True) -> List[Affine]:
     return [None if x == 0 and y == 0 else (x, y) for x, y in zip(xs, ys)]
 
 
+def proj_limbs_to_affine_points(x_limbs, y_limbs, z_limbs) -> List[Affine]:
+    """Device homogeneous-projective (Montgomery) -> oracle affine points,
+    on the host: x = X/Z, y = Y/Z (infinity iff Z == 0). The projective
+    counterpart of jac_limbs_to_affine_points (same host-side-readback role
+    as the reference's final_accumulation.rs:5-16)."""
+    rinv = pow(R, -1, P)
+    xs = [v * rinv % P for v in limbs_to_ints(np.asarray(x_limbs))]
+    ys = [v * rinv % P for v in limbs_to_ints(np.asarray(y_limbs))]
+    zs = [v * rinv % P for v in limbs_to_ints(np.asarray(z_limbs))]
+    out: List[Affine] = []
+    for x, y, z in zip(xs, ys, zs):
+        if z == 0:
+            out.append(None)
+        else:
+            zinv = pow(z, P - 2, P)
+            out.append((x * zinv % P, y * zinv % P))
+    return out
+
+
 def jac_limbs_to_affine_points(x_limbs, y_limbs, z_limbs) -> List[Affine]:
     """Device Jacobian (Montgomery) -> oracle affine points, on the host.
 
