@@ -121,15 +121,15 @@ STEPS = 3
 
 
 def _stacked_steps(rng):
-    """(STEPS, 16, R, 128) coordinate stacks + flat (16, STEPS*LANES)."""
+    """(16, STEPS, R, 128) coordinate stacks + per-step (16, LANES) lists."""
     xs, ys = [], []
     for _ in range(STEPS):
         x, y, _ = _points(rng, LANES)
         xs.append(x)
         ys.append(y)
     r = LANES // pc.LANE
-    gx = jnp.stack([a.reshape(bn254.LIMBS, r, pc.LANE) for a in xs])
-    gy = jnp.stack([a.reshape(bn254.LIMBS, r, pc.LANE) for a in ys])
+    gx = jnp.stack([a.reshape(bn254.LIMBS, r, pc.LANE) for a in xs], axis=1)
+    gy = jnp.stack([a.reshape(bn254.LIMBS, r, pc.LANE) for a in ys], axis=1)
     return gx, gy, xs, ys
 
 
@@ -141,7 +141,28 @@ def test_scan_madd_matches_stepwise():
     acc = curve.proj_infinity((LANES,))
     for k in range(STEPS):
         acc = curve.proj_madd(acc, AffinePoint(xs[k], ys[k]))
-        got = ProjPoint(*(a[k].reshape(bn254.LIMBS, LANES) for a in (ox, oy, oz)))
+        got = ProjPoint(*(a[:, k].reshape(bn254.LIMBS, LANES)
+                          for a in (ox, oy, oz)))
+        _assert_proj_equal(got, acc)
+
+
+def test_scan_madd_u16_matches_stepwise():
+    from tpu_msm.ops.pippenger import pack_u16_rows
+
+    rng = np.random.RandomState(79)
+    _, _, xs, ys = _stacked_steps(rng)
+    r = LANES // pc.LANE
+    pgx = jnp.stack([pack_u16_rows(a).reshape(8, r, pc.LANE) for a in xs],
+                    axis=1)
+    pgy = jnp.stack([pack_u16_rows(a).reshape(8, r, pc.LANE) for a in ys],
+                    axis=1)
+    ys48 = pc.scan_madd_packed_u16(pgx, pgy, interpret=True)
+
+    acc = curve.proj_infinity((LANES,))
+    for k in range(STEPS):
+        acc = curve.proj_madd(acc, AffinePoint(xs[k], ys[k]))
+        flat = ys48[:, k].reshape(48, LANES)
+        got = ProjPoint(flat[0:16], flat[16:32], flat[32:48])
         _assert_proj_equal(got, acc)
 
 
@@ -153,7 +174,8 @@ def test_fold_add_matches_stepwise():
              for x, y in zip(xs, ys)]
     r = LANES // pc.LANE
     bx, by, bz = (jnp.stack([getattr(p, f).reshape(bn254.LIMBS, r, pc.LANE)
-                             for p in projs]) for f in ("x", "y", "z"))
+                             for p in projs], axis=1)
+                  for f in ("x", "y", "z"))
     ox, oy, oz = pc.fold_add_packed(bx, by, bz, interpret=True)
     got = ProjPoint(*(a.reshape(bn254.LIMBS, LANES) for a in (ox, oy, oz)))
 

@@ -144,23 +144,43 @@ def check_kernels() -> int:
     steps = 3
     r = lanes // pc.LANE
     sx, sy = zip(*(points(lanes) for _ in range(steps)))
-    gx = jnp.stack([a.reshape(bn254.LIMBS, r, pc.LANE) for a in sx])
-    gy = jnp.stack([a.reshape(bn254.LIMBS, r, pc.LANE) for a in sy])
+    gx = jnp.stack([a.reshape(bn254.LIMBS, r, pc.LANE) for a in sx], axis=1)
+    gy = jnp.stack([a.reshape(bn254.LIMBS, r, pc.LANE) for a in sy], axis=1)
     ox, oy, oz = pc.scan_madd_packed(gx, gy)
     acc = curve.proj_infinity((lanes,))
     ok = True
     for k in range(steps):
         acc = curve.proj_madd(acc, AffinePoint(sx[k], sy[k]))
-        got = ProjPoint(*(a[k].reshape(bn254.LIMBS, lanes) for a in (ox, oy, oz)))
+        got = ProjPoint(*(a[:, k].reshape(bn254.LIMBS, lanes)
+                          for a in (ox, oy, oz)))
         ok &= bool(np.asarray(jax.jit(curve.proj_eq)(got, acc)).all())
     log.info("kernel %-18s %s", "scan_madd_packed", "OK" if ok else "MISMATCH")
     if not ok:
         failures.append("scan_madd_packed")
 
+    from tpu_msm.ops.pippenger import pack_u16_rows
+
+    pgx = jnp.stack([pack_u16_rows(a).reshape(8, r, pc.LANE) for a in sx],
+                    axis=1)
+    pgy = jnp.stack([pack_u16_rows(a).reshape(8, r, pc.LANE) for a in sy],
+                    axis=1)
+    ys48 = pc.scan_madd_packed_u16(pgx, pgy)
+    acc = curve.proj_infinity((lanes,))
+    ok = True
+    for k in range(steps):
+        acc = curve.proj_madd(acc, AffinePoint(sx[k], sy[k]))
+        flat = ys48[:, k].reshape(48, lanes)
+        got = ProjPoint(flat[0:16], flat[16:32], flat[32:48])
+        ok &= bool(np.asarray(jax.jit(curve.proj_eq)(got, acc)).all())
+    log.info("kernel %-18s %s", "scan_madd_packed_u16", "OK" if ok else "MISMATCH")
+    if not ok:
+        failures.append("scan_madd_packed_u16")
+
     projs = [curve.proj_double(curve.affine_to_proj(AffinePoint(x, y)))
              for x, y in zip(sx, sy)]
     bx_, by_, bz_ = (jnp.stack([getattr(pt, f).reshape(bn254.LIMBS, r, pc.LANE)
-                                for pt in projs]) for f in ("x", "y", "z"))
+                                for pt in projs], axis=1)
+                     for f in ("x", "y", "z"))
     fx, fy, fz = pc.fold_add_packed(bx_, by_, bz_)
     acc = curve.proj_infinity((lanes,))
     for pt in projs:

@@ -503,24 +503,28 @@ def _scan_madd_kernel(gx_ref, gy_ref, ox, oy, oz, ax, ay, az):
     _init_acc_inf(ax, ay, az)
     rx, ry, rz = _proj_madd_rows(
         _rows_of(ax[...]), _rows_of(ay[...]), _rows_of(az[...]),
-        _rows_of(gx_ref[0]), _rows_of(gy_ref[0]))
+        _rows_of(gx_ref[:, 0]), _rows_of(gy_ref[:, 0]))
     sx, sy, sz = jnp.stack(rx), jnp.stack(ry), jnp.stack(rz)
     ax[...], ay[...], az[...] = sx, sy, sz
-    ox[0], oy[0], oz[0] = sx, sy, sz
+    ox[:, 0], oy[:, 0], oz[:, 0] = sx, sy, sz
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def scan_madd_packed(gx, gy, interpret: bool = False):
     """Inclusive EC prefix scan (complete projective mixed add) over the
-    leading axis: one pallas_call, accumulator resident in VMEM scratch.
+    step axis: one pallas_call, accumulator resident in VMEM scratch.
 
-    gx, gy: (steps, 16, R, 128) uint32 affine coords, R*128 independent
-    lanes. Returns (ys_x, ys_y, ys_z) of the same shape — ys[k] is the
-    running sum of gx/gy[0..k] per lane.
+    gx, gy: (16, steps, R, 128) uint32 affine coords, R*128 independent
+    lanes. Returns (ys_x, ys_y, ys_z) of the same shape — ys[:, k] is the
+    running sum of gx/gy[:, 0..k] per lane.
+
+    Limbs-leading layout so a row-major (16, N) coordinate array reshapes in
+    for free (steps on axis 1) — the step-leading variant forced a 64 MB
+    XLA transpose per operand per window.
     """
-    steps, _, r, _ = gx.shape
+    _, steps, r, _ = gx.shape
     shape = jax.ShapeDtypeStruct(gx.shape, jnp.uint32)
-    spec = pl.BlockSpec((1, NROWS, r, LANE), lambda i: (i, 0, 0, 0),
+    spec = pl.BlockSpec((NROWS, 1, r, LANE), lambda i: (0, i, 0, 0),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _scan_madd_kernel,
@@ -534,11 +538,65 @@ def scan_madd_packed(gx, gy, interpret: bool = False):
     return tuple(out)
 
 
+def _unpack_pairs(packed):
+    """8 u16-pair-packed rows -> 16 canonical u16 rows (in u32 lanes)."""
+    rows = []
+    for p in packed:
+        rows.append(p & MASK)
+        rows.append(p >> 16)
+    return rows
+
+
+def _scan_madd_u16_kernel(gx_ref, gy_ref, oys, ax, ay, az):
+    _init_acc_inf(ax, ay, az)
+    gx, gy = gx_ref[:, 0], gy_ref[:, 0]
+    qx = _unpack_pairs([gx[i] for i in range(8)])
+    qy = _unpack_pairs([gy[i] for i in range(8)])
+    rx, ry, rz = _proj_madd_rows(
+        _rows_of(ax[...]), _rows_of(ay[...]), _rows_of(az[...]), qx, qy)
+    sx, sy, sz = jnp.stack(rx), jnp.stack(ry), jnp.stack(rz)
+    ax[...], ay[...], az[...] = sx, sy, sz
+    oys[:, 0] = jnp.concatenate([sx, sy, sz], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def scan_madd_packed_u16(gx, gy, interpret: bool = False):
+    """Inclusive EC prefix scan over u16-pair-packed affine inputs.
+
+    gx, gy: (8, steps, R, 128) uint32, each element two 16-bit limbs
+    (row 2i in the low half, row 2i+1 in the high half — see
+    pippenger's pack helper). Unpacking happens in VMEM, so the packed
+    form halves the input DMA bytes AND lets the host sort carry each
+    coordinate as 8 sort operands instead of 16 (one 17-operand
+    lax.sort moves digits + both packed coordinates in one pass —
+    variadic sort cost is flat in operand count on TPU).
+
+    Returns ONE stacked (48, steps, R, 128) array: rows 0:16 X, 16:32 Y,
+    32:48 Z of the running per-lane prefix sums — a single array so the
+    downstream bucket-boundary lookup is one gather instead of three.
+    """
+    _, steps, r, _ = gx.shape
+    out_shape = jax.ShapeDtypeStruct((3 * NROWS, steps, r, LANE), jnp.uint32)
+    in_spec = pl.BlockSpec((8, 1, r, LANE), lambda i: (0, i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((3 * NROWS, 1, r, LANE), lambda i: (0, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _scan_madd_u16_kernel,
+        grid=(steps,),
+        in_specs=[in_spec] * 2,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((NROWS, r, LANE), jnp.uint32)] * 3,
+        interpret=interpret,
+    )(gx, gy)
+
+
 def _fold_add_kernel(bx, by, bz, ox, oy, oz, ax, ay, az):
     _init_acc_inf(ax, ay, az)
     rx, ry, rz = _proj_add_rows(
         _rows_of(ax[...]), _rows_of(ay[...]), _rows_of(az[...]),
-        _rows_of(bx[0]), _rows_of(by[0]), _rows_of(bz[0]))
+        _rows_of(bx[:, 0]), _rows_of(by[:, 0]), _rows_of(bz[:, 0]))
     sx, sy, sz = jnp.stack(rx), jnp.stack(ry), jnp.stack(rz)
     ax[...], ay[...], az[...] = sx, sy, sz
     ox[...], oy[...], oz[...] = sx, sy, sz
@@ -546,14 +604,15 @@ def _fold_add_kernel(bx, by, bz, ox, oy, oz, ax, ay, az):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fold_add_packed(bx, by, bz, interpret: bool = False):
-    """EC-sum over the leading axis (complete projective add): one
-    pallas_call, accumulator in VMEM scratch.
+    """EC-sum over the step axis (complete projective add): one pallas_call,
+    accumulator in VMEM scratch.
 
-    bx/by/bz: (steps, 16, R, 128) projective points. Returns the
+    bx/by/bz: (16, steps, R, 128) projective points (limbs-leading — a
+    row-major (16, N) batch reshapes in for free). Returns the
     (16, R, 128) per-lane sums over the step axis.
     """
-    steps, _, r, _ = bx.shape
-    in_spec = pl.BlockSpec((1, NROWS, r, LANE), lambda i: (i, 0, 0, 0),
+    _, steps, r, _ = bx.shape
+    in_spec = pl.BlockSpec((NROWS, 1, r, LANE), lambda i: (0, i, 0, 0),
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((NROWS, r, LANE), lambda i: (0, 0, 0),
                             memory_space=pltpu.VMEM)

@@ -135,8 +135,7 @@ def _sequential_fold(pts: ProjPoint, lanes: int, steps: int, backend: str = "jnp
         from tpu_msm.ops import pallas_curve as pc
 
         r = lanes // pc.LANE
-        arrs = [jnp.moveaxis(a.reshape(bn254.LIMBS, steps, lanes), 1, 0)
-                .reshape(steps, bn254.LIMBS, r, pc.LANE) for a in pts]
+        arrs = [a.reshape(bn254.LIMBS, steps, r, pc.LANE) for a in pts]
         res = pc.fold_add_packed(*arrs)
         return ProjPoint(*(a.reshape(bn254.LIMBS, lanes) for a in res))
     grouped = ProjPoint(*(a.reshape(bn254.LIMBS, lanes, steps) for a in pts))
@@ -181,11 +180,13 @@ def ec_reduce(pts: ProjPoint, fanout: int = 256, backend: str = "jnp") -> ProjPo
     return _roll_reduce(pts, b, backend)
 
 
-def _msm_window(digits, px, py, n: int, cfg: MsmConfig) -> ProjPoint:
+def _msm_window(digits, px, py, ppx, ppy, n: int, cfg: MsmConfig) -> ProjPoint:
     """Window sum for one window. Returns (16, 1).
 
     digits: (n_pad,) this window's digits (padding positions carry the 2^c
-    sentinel and infinity points). px, py: (16, n_pad) padded coordinates.
+    sentinel). px, py: (16, n+1) coordinates with an appended infinity
+    column (jnp fallback path). ppx, ppy: (8, n_pad) u16-pair-packed padded
+    coordinates (fused Pallas path), or None.
     """
     c = cfg.window_bits
     m = cfg.buckets_per_window()
@@ -193,43 +194,55 @@ def _msm_window(digits, px, py, n: int, cfg: MsmConfig) -> ProjPoint:
     lanes = cfg.scan_lanes
     steps = n_pad // lanes
     backend = cfg.backend
+    fused = _use_pallas(backend, lanes) and lanes <= _FUSED_MAX_LANES
 
-    # Sort (digit, index) pairs on device, then gather the point stream into
-    # digit order (the reference sorts (bucket, point_idx) pairs on the CPU
-    # and binary-searches segments, sort_buckets.rs:19-30). Carrying the 32
-    # coordinate rows as sort payload instead looks cheaper on paper, but a
-    # 33-operand variadic lax.sort sends the XLA:TPU compiler into the
-    # weeds (>1 h compile at 2^17); key+index sort plus one gather per
-    # coordinate compiles in seconds and runs at HBM speed.
-    idx0 = jnp.arange(n_pad, dtype=jnp.int32)
-    idx0 = jnp.where(idx0 >= n, n, idx0)  # pads point at the infinity column
-    sorted_digits, sorted_idx = jax.lax.sort_key_val(digits, idx0)
-    gx = jnp.take(px, sorted_idx, axis=1).reshape(bn254.LIMBS, lanes, steps)
-    gy = jnp.take(py, sorted_idx, axis=1).reshape(bn254.LIMBS, lanes, steps)
-    # Scan axis must lead.
-    gx = jnp.moveaxis(gx, 2, 0)  # (steps, 16, lanes)
-    gy = jnp.moveaxis(gy, 2, 0)
-
-    if _use_pallas(backend, lanes) and lanes <= _FUSED_MAX_LANES:
-        # Whole scan as ONE pallas_call: accumulator in VMEM scratch across
-        # all steps (vs one kernel launch + acc HBM round-trip per step).
+    # Stage-2 analogue (the reference sorts (bucket, point_idx) pairs on the
+    # CPU and binary-searches segments, sort_buckets.rs:19-30). Gathers are
+    # per-index-rate-bound on TPU (~10 ns/element-row regardless of layout),
+    # so the fused path moves the coordinates THROUGH the sort as u16-packed
+    # payload: one 17-operand lax.sort (variadic sort cost is flat in
+    # operand count) instead of key+index sort plus two 64 MB gathers —
+    # ~2.5x faster stage time. (A 33-operand unpacked-payload sort is the
+    # wrong answer: it stalls the XLA:TPU compiler for >1 h at 2^17.)
+    if fused:
         from tpu_msm.ops import pallas_curve as pc
 
         r = lanes // pc.LANE
-        ys_t = pc.scan_madd_packed(
-            gx.reshape(steps, bn254.LIMBS, r, pc.LANE),
-            gy.reshape(steps, bn254.LIMBS, r, pc.LANE))
-        ys = ProjPoint(*(a.reshape(steps, bn254.LIMBS, lanes) for a in ys_t))
+        sorted_ops = jax.lax.sort(
+            [digits] + [ppx[i] for i in range(8)] + [ppy[i] for i in range(8)],
+            num_keys=1)
+        sorted_digits = sorted_ops[0]
+        # Lane l scans sorted positions [l*steps, (l+1)*steps): reshape
+        # (8, lanes, steps) then transpose to step-leading for the kernel.
+        sgx = jnp.moveaxis(jnp.stack(sorted_ops[1:9]).reshape(8, lanes, steps),
+                           1, 2).reshape(8, steps, r, pc.LANE)
+        sgy = jnp.moveaxis(jnp.stack(sorted_ops[9:17]).reshape(8, lanes, steps),
+                           1, 2).reshape(8, steps, r, pc.LANE)
+        # Whole scan as ONE pallas_call: accumulator in VMEM scratch across
+        # all steps; ys48 rows 0:16/16:32/32:48 are X/Y/Z prefix sums.
+        ys48 = pc.scan_madd_packed_u16(sgx, sgy).reshape(48, steps, lanes)
+        ys = ProjPoint(ys48[0:16], ys48[16:32], ys48[32:48])
     else:
+        idx0 = jnp.arange(n_pad, dtype=jnp.int32)
+        idx0 = jnp.where(idx0 >= n, n, idx0)  # pads hit the infinity column
+        sorted_digits, sorted_idx = jax.lax.sort_key_val(digits, idx0)
+        perm = jnp.moveaxis(sorted_idx.reshape(lanes, steps), 1, 0).reshape(-1)
+        gx = jnp.take(px, perm, axis=1).reshape(bn254.LIMBS, steps, lanes)
+        gy = jnp.take(py, perm, axis=1).reshape(bn254.LIMBS, steps, lanes)
+
         def step(acc, pt_xy):
             sx, sy = pt_xy
             acc = ec_madd(acc, AffinePoint(sx, sy), backend)
             return acc, acc
 
-        _, ys = jax.lax.scan(step, curve.proj_infinity((lanes,)), (gx, gy))
-    # ys: ProjPoint of (steps, 16, lanes) — per-lane inclusive local scans.
+        _, ys_s = jax.lax.scan(
+            step, curve.proj_infinity((lanes,)),
+            (jnp.moveaxis(gx, 1, 0), jnp.moveaxis(gy, 1, 0)))
+        ys = ProjPoint(*(jnp.moveaxis(a, 0, 1) for a in ys_s))
+        ys48 = None
+    # ys: ProjPoint of (16, steps, lanes) — per-lane inclusive local scans.
 
-    totals = ProjPoint(*(a[-1] for a in ys))
+    totals = ProjPoint(*(a[:, -1] for a in ys))
     inc = _lane_inclusive_scan(totals, lanes, backend)
     lane_idx = jnp.arange(lanes)
     carry = curve.select_point(
@@ -249,8 +262,16 @@ def _msm_window(digits, px, py, n: int, cfg: MsmConfig) -> ProjPoint:
     pos = jnp.maximum(queries, 1) - 1
     lq = (pos // steps).astype(jnp.int32)
     kq = (pos % steps).astype(jnp.int32)
-    local = ProjPoint(*(jnp.moveaxis(a[kq, :, lq], 0, 1) for a in ys))  # (16, M+1)
-    lane_carry = ProjPoint(*(a[:, lq] for a in carry))
+    if fused:
+        # One 48-row gather for all three coordinates (gather fixed costs
+        # dominate at this query count), ditto for the lane carries.
+        loc48 = ys48[:, kq, lq]  # (48, M+1)
+        local = ProjPoint(loc48[0:16], loc48[16:32], loc48[32:48])
+        car48 = jnp.concatenate(list(carry), axis=0)[:, lq]
+        lane_carry = ProjPoint(car48[0:16], car48[16:32], car48[32:48])
+    else:
+        local = ProjPoint(*(a[:, kq, lq] for a in ys))  # (16, M+1)
+        lane_carry = ProjPoint(*(a[:, lq] for a in carry))
     xvals = ec_add(lane_carry, local, backend)
     xvals = curve.select_point(is_zero, curve.proj_infinity((m + 1,)), xvals)
 
@@ -287,16 +308,30 @@ def window_sums(points: AffinePoint, scalar_limbs, cfg: MsmConfig) -> ProjPoint:
     digits = window_digits(scalar_limbs, cfg)  # (W, N)
     if n_pad != n:
         # Padding: sentinel digit 2^c (sorts last, dropped bin); the padded
-        # indices point at the appended infinity column below — both
-        # absorbed by the window reduction.
+        # positions carry the infinity point — both absorbed by the window
+        # reduction.
         digits = jnp.pad(digits, ((0, 0), (0, n_pad - n)),
                          constant_values=jnp.uint32(1 << c))
-    # Appended infinity column backs the padded indices.
+    # Appended infinity column backs the padded indices (jnp fallback path).
     px = jnp.concatenate([points.x, field.zero((1,))], axis=1)
     py = jnp.concatenate([points.y, field.zero((1,))], axis=1)
+    if _use_pallas(cfg.backend, lanes) and lanes <= _FUSED_MAX_LANES:
+        # u16-pair-packed coordinates, zero-padded to n_pad ((0,0) affine
+        # sentinel = infinity). Packed once here, sorted per window.
+        ppx = jnp.pad(pack_u16_rows(points.x), ((0, 0), (0, n_pad - n)))
+        ppy = jnp.pad(pack_u16_rows(points.y), ((0, 0), (0, n_pad - n)))
+    else:
+        ppx = ppy = None
 
-    window_fn = functools.partial(_msm_window, px=px, py=py, n=n, cfg=cfg)
+    window_fn = functools.partial(_msm_window, px=px, py=py, ppx=ppx, ppy=ppy,
+                                  n=n, cfg=cfg)
     return jax.lax.map(window_fn, digits)
+
+
+def pack_u16_rows(a):
+    """(16, N) canonical u16 rows -> (8, N): row 2i in the low 16 bits of
+    packed row i, row 2i+1 in the high 16 bits."""
+    return a[0::2] | (a[1::2] << jnp.uint32(16))
 
 
 def _mul_all_ones(p: ProjPoint, c: int, backend: str) -> ProjPoint:

@@ -88,11 +88,12 @@ def profile_stages(log_n: int, cfg=None, seed: int = 1):
     results = {}
 
     def stage_sort(sl, px, py):
-        digits = pippenger.window_digits(sl, cfg)
-        ops = [digits[0]] + [px[i] for i in range(16)] + [py[i] for i in range(16)]
         import jax
 
-        return jax.lax.sort(ops, num_keys=1)[0]
+        digits = pippenger.window_digits(sl, cfg)
+        idx = jnp.arange(digits.shape[1], dtype=jnp.int32)
+        _, sidx = jax.lax.sort_key_val(digits[0], idx)
+        return jnp.take(px, sidx, axis=1), jnp.take(py, sidx, axis=1)
 
     results["sort_1window"] = time_fn(stage_sort, sl, px, py)
     results["window_sums_all"] = time_fn(
