@@ -21,7 +21,9 @@
 //   scalars standard form.
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 #include "bn254_constants.h"
@@ -299,6 +301,39 @@ int pick_window(size_t n) {
   return c;
 }
 
+// Thread count: TPU_MSM_CPU_THREADS override, else hardware concurrency.
+// The role model (halo2curves::msm::msm_best) is rayon-parallel; here the
+// natural parallel axis is windows — each window owns its bucket array, so
+// per-window sums need no synchronization at all (unlike the reference's
+// boundary-merge machinery, msm.h.metal:229-297).
+unsigned thread_count(size_t work_items) {
+  unsigned n = std::thread::hardware_concurrency();
+  if (const char *env = std::getenv("TPU_MSM_CPU_THREADS")) {
+    long v = std::atol(env);
+    if (v > 0) n = (unsigned)v;
+  }
+  if (n < 1) n = 1;
+  if ((size_t)n > work_items) n = (unsigned)work_items;
+  return n;
+}
+
+// Static round-robin parallel for: fn(item_index) for 0 <= i < n_items.
+template <typename F>
+void parallel_for(size_t n_items, F fn) {
+  unsigned nt = thread_count(n_items);
+  if (nt <= 1) {
+    for (size_t i = 0; i < n_items; ++i) fn(i);
+    return;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  for (unsigned t = 0; t < nt; ++t)
+    threads.emplace_back([=] {
+      for (size_t i = t; i < n_items; i += nt) fn(i);
+    });
+  for (auto &th : threads) th.join();
+}
+
 }  // namespace
 
 extern "C" {
@@ -324,11 +359,13 @@ void tpu_msm_cpu_msm(const u32 *px, const u32 *py, const u32 *scalars,
     for (int k = 0; k < 4; ++k) sc[4 * j + k] = s.v[k];
   }
 
-  std::vector<Jac> buckets(nbuckets);
-  Jac acc = jac_infinity();
-  for (int w = num_windows - 1; w >= 0; --w) {
-    for (int d = 0; d < c && w != num_windows - 1; ++d) acc = jac_dbl(acc);
-    for (auto &b : buckets) b = jac_infinity();
+  // Per-window sums in parallel (each window owns its buckets; no shared
+  // state), then a sequential Horner fold — the same split as the device
+  // pipeline (window_sums / horner_fold in tpu_msm/ops/pippenger.py).
+  std::vector<Jac> wsums(num_windows);
+  parallel_for((size_t)num_windows, [&](size_t wi) {
+    int w = (int)wi;
+    std::vector<Jac> buckets(nbuckets, jac_infinity());
     int start = w * c;
     for (size_t j = 0; j < n; ++j) {
       // digit = bits [start, start+c) of scalar j
@@ -344,7 +381,12 @@ void tpu_msm_cpu_msm(const u32 *px, const u32 *py, const u32 *scalars,
       running = jac_add(running, buckets[b]);
       wsum = jac_add(wsum, running);
     }
-    acc = jac_add(acc, wsum);
+    wsums[wi] = wsum;
+  });
+  Jac acc = wsums[num_windows - 1];
+  for (int w = num_windows - 2; w >= 0; --w) {
+    for (int d = 0; d < c; ++d) acc = jac_dbl(acc);
+    acc = jac_add(acc, wsums[w]);
   }
   store_fp(out_xyz, acc.x, 0);
   store_fp(out_xyz, acc.y, 16);
@@ -401,7 +443,7 @@ void tpu_msm_cpu_ec_mul_batch(const u32 *base_xy, const u32 *scalars, size_t n,
     base.y = by;
     base.inf = fp_is_zero(bx) && fp_is_zero(by);
   }
-  for (size_t j = 0; j < n; ++j) {
+  parallel_for(n, [&](size_t j) {
     Fp s = load_fp(scalars, n, j);
     Jac acc = jac_infinity();
     for (int i = 3; i >= 0; --i)
@@ -414,7 +456,7 @@ void tpu_msm_cpu_ec_mul_batch(const u32 *base_xy, const u32 *scalars, size_t n,
         out_px[k * n + j] = 0;
         out_py[k * n + j] = 0;
       }
-      continue;
+      return;
     }
     Fp zi = fp_inv(acc.z);
     Fp zi2 = fp_sqr(zi);
@@ -425,7 +467,7 @@ void tpu_msm_cpu_ec_mul_batch(const u32 *base_xy, const u32 *scalars, size_t n,
         out_px[(4 * k + s2) * n + j] = (u32)((ax.v[k] >> (16 * s2)) & 0xFFFF);
         out_py[(4 * k + s2) * n + j] = (u32)((ay.v[k] >> (16 * s2)) & 0xFFFF);
       }
-  }
+  });
 }
 
 int tpu_msm_cpu_abi_version() { return 1; }
