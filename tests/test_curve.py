@@ -14,6 +14,9 @@ from tpu_msm.models import bn254
 from tpu_msm.ops import curve, field
 from tpu_msm.utils import interop, oracle
 
+# Everything here executes XLA graphs (see conftest tier policy).
+pytestmark = pytest.mark.device
+
 
 def _to_affine_host(jac):
     return interop.jac_limbs_to_affine_points(*[np.asarray(v) for v in jac])

@@ -1,0 +1,80 @@
+"""Adaptive-dispatcher boundary tests: numpy production path, zero filter,
+config selection via the autotune table, and the streamed large-N path.
+
+Reference analogue: the msm_best tests at src/metal/msm.rs:509-691 (e2e) and
+the zero-filtering logic msm.rs:447-507 — here with the (16, N) limb-array
+boundary that replaces the reference's unsafe zero-copy cast.
+"""
+
+import numpy as np
+import pytest
+
+import tpu_msm
+from tpu_msm import msm_best
+from tpu_msm.models import bn254
+from tpu_msm.utils import interop, oracle
+from tpu_msm.utils import autotune
+from tpu_msm.utils.config import MsmConfig, select_config
+
+
+def _array_inputs(rng, n):
+    ks = [int(rng.randint(1, 1 << 22)) for _ in range(n)]
+    pts = [oracle.ec_mul(oracle.GEN, k) for k in ks]
+    scalars = [int.from_bytes(rng.bytes(32), "little") % bn254.FR for _ in range(n)]
+    px, py = interop.affine_points_to_limbs(pts)
+    sl = interop.ints_to_limbs(scalars)
+    return pts, scalars, px, py, sl
+
+
+def test_msm_best_array_boundary(rng):
+    """(16, N) limb arrays in -> same result as the list path, all-numpy
+    entry (no per-element Python conversion)."""
+    pts, scalars, px, py, sl = _array_inputs(rng, 120)
+    got = msm_best(sl, (px, py))
+    assert got == oracle.msm(scalars, pts)
+    assert got == msm_best(scalars, pts)
+
+
+def test_msm_best_array_zero_filter(rng):
+    pts, scalars, px, py, sl = _array_inputs(rng, 60)
+    sl[:, ::2] = 0  # 50% zero columns -> filter path
+    scalars = [0 if i % 2 == 0 else s for i, s in enumerate(scalars)]
+    assert msm_best(sl, (px, py)) == oracle.msm(scalars, pts)
+    # all-zero -> None; length mismatch -> ValueError
+    assert msm_best(np.zeros_like(sl), (px, py)) is None
+    with pytest.raises(ValueError):
+        msm_best(sl[:, :10], (px, py))
+
+
+def test_limbs_to_ints_fast_path_matches(rng):
+    vals = [0, 1, bn254.P - 1, 0xFFFF, 1 << 255]
+    vals += [int.from_bytes(rng.bytes(32), "little") for _ in range(5)]
+    limbs = interop.ints_to_limbs(vals)
+    assert interop.limbs_to_ints(limbs) == vals
+    #
+
+def test_select_config_consults_autotune(monkeypatch):
+    monkeypatch.setattr(autotune, "lookup",
+                        lambda n, platform=None: {"window_bits": 8,
+                                                  "scan_lanes": 2048,
+                                                  "reduce_fanout": 1024})
+    cfg = select_config(1 << 20)
+    assert cfg == MsmConfig(window_bits=8, scan_lanes=2048, reduce_fanout=1024)
+    # Small n still clamps lanes below the tuned value.
+    assert select_config(64).scan_lanes <= 32
+    # No table entry -> heuristic.
+    monkeypatch.setattr(autotune, "lookup", lambda n, platform=None: None)
+    assert select_config(1 << 20).window_bits == 16
+
+
+@pytest.mark.slow
+@pytest.mark.device
+def test_msm_streamed_matches_oracle(rng):
+    from tpu_msm.ops import streaming
+
+    pts, scalars, px, py, sl = _array_inputs(rng, 100)  # 4 chunks of 32
+    cfg = MsmConfig(window_bits=8, scan_lanes=8)
+    res = streaming.msm_streamed(px, py, sl, cfg=cfg, chunk_log=5)
+    [got] = interop.proj_limbs_to_affine_points(
+        np.asarray(res.x), np.asarray(res.y), np.asarray(res.z))
+    assert got == oracle.msm(scalars, pts)

@@ -12,6 +12,9 @@ from tpu_msm.models import bn254
 from tpu_msm.ops import field
 from tpu_msm.utils import interop
 
+# Everything here executes XLA graphs (see conftest tier policy).
+pytestmark = pytest.mark.device
+
 P = bn254.P
 R = bn254.R
 N = 48

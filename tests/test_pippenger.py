@@ -17,6 +17,10 @@ from tpu_msm.ops import curve, pippenger
 from tpu_msm.utils import interop, oracle
 from tpu_msm.utils.config import MsmConfig, select_config
 
+# Everything here executes XLA graphs (see conftest tier policy);
+# select_config coverage lives in tests/test_dispatch.py (host tier).
+pytestmark = pytest.mark.device
+
 FR = bn254.FR
 
 
@@ -158,6 +162,4 @@ def test_msm_determinism(rng):
 
 
 def test_select_config():
-    assert select_config(1 << 10).window_bits == 8
-    assert select_config(1 << 20).window_bits == 16
     assert select_config(16).scan_lanes <= 8

@@ -18,6 +18,9 @@ from tpu_msm.parallel import sharded
 from tpu_msm.utils import interop, oracle
 from tpu_msm.utils.config import MsmConfig
 
+# Everything here executes XLA graphs (see conftest tier policy).
+pytestmark = pytest.mark.device
+
 
 def _cpu_devices(n):
     devs = jax.devices("cpu")
@@ -47,6 +50,22 @@ def test_sharded_matches_single_device(rng, ndev):
         assert bool(np.asarray(proj_eq(res, ref))[0])
     # and against the oracle
     [got] = interop.proj_limbs_to_affine_points(*[np.asarray(a) for a in res])
+    assert got == oracle.msm(scalars, pts)
+
+
+@pytest.mark.parametrize("ndev", [2, pytest.param(3, marks=pytest.mark.slow)])
+def test_ppermute_collective_matches_gather_tree(rng, ndev):
+    """The ppermute binomial-tree EC collective (parallel.collectives) must
+    agree with the gather-tree reduction, including a non-power-of-2 mesh."""
+    mesh = sharded.default_mesh(_cpu_devices(ndev))
+    cfg = MsmConfig(window_bits=8, scan_lanes=8, backend="jnp")
+    pts, scalars, px, py, sl = _inputs(rng, 8 * ndev)
+    args = sharded.shard_arrays(mesh, "data", px, py, sl)
+    with jax.default_device(jax.devices("cpu")[0]):
+        res_pp = sharded.make_sharded_msm(mesh, cfg, collective="ppermute_tree")(*args)
+        res_gt = sharded.make_sharded_msm(mesh, cfg, collective="gather_tree")(*args)
+        assert bool(np.asarray(proj_eq(res_pp, res_gt))[0])
+    [got] = interop.proj_limbs_to_affine_points(*[np.asarray(a) for a in res_pp])
     assert got == oracle.msm(scalars, pts)
 
 

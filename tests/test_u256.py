@@ -15,6 +15,9 @@ from tpu_msm.models import bn254
 from tpu_msm.ops import u256
 from tpu_msm.utils import interop
 
+# Everything here executes XLA graphs (see conftest tier policy).
+pytestmark = pytest.mark.device
+
 N = 64
 
 

@@ -93,29 +93,57 @@ def msm(
     return pt
 
 
-def msm_best(scalars: Sequence[int], points: Sequence[Affine]) -> Affine:
+def _coerce_inputs(scalars, points):
+    """Normalize msm_best inputs to ((16, N) px, py, scalar_limbs) numpy.
+
+    Two accepted forms, mirroring the reference's two entry shapes (typed
+    host objects via ToLimbs, or the unsafe zero-copy cast at
+    src/metal/msm.rs:257-285):
+      * lists: scalars = ints (reduced mod r here), points = (x, y) tuples
+      * arrays: scalars = (16, N) standard-form limbs ALREADY canonical
+        (< r), points = (px, py) pair of (16, N) Montgomery limb arrays —
+        the zero-conversion production path.
+    """
+    if hasattr(scalars, "shape"):
+        slimbs = np.ascontiguousarray(np.asarray(scalars, dtype=np.uint32))
+    else:
+        slimbs = interop.ints_to_limbs([s % bn254.FR for s in scalars])
+    if (isinstance(points, (list, tuple)) and len(points) == 2
+            and hasattr(points[0], "shape")):
+        px = np.ascontiguousarray(np.asarray(points[0], dtype=np.uint32))
+        py = np.ascontiguousarray(np.asarray(points[1], dtype=np.uint32))
+    else:
+        px, py = interop.affine_points_to_limbs(points)
+    if slimbs.shape[1] != px.shape[1]:
+        raise ValueError("scalars and points must have equal length")
+    return px, py, slimbs
+
+
+def msm_best(scalars, points) -> Affine:
     """Adaptive MSM dispatcher (reference: msm_best, src/metal/msm.rs:423-507).
 
-    Argument order matches the reference (scalars first). Filters zero scalars
-    when they exceed the 30% threshold, then runs the size-selected config.
+    Argument order matches the reference (scalars first). Accepts Python
+    lists OR (16, N) limb arrays (see _coerce_inputs — the array form is the
+    production boundary, all-numpy with no per-element Python work, playing
+    the role of the reference's zero-copy cast + rayon zero filter,
+    msm.rs:447-507). Filters zero scalars when they exceed the 30% threshold,
+    then dispatches: native C++ engine below CPU_THRESHOLD, device above.
     """
-    scalars = [s % bn254.FR for s in scalars]
-    if len(scalars) != len(points):
-        raise ValueError("scalars and points must have equal length")
-    n = len(scalars)
+    px, py, slimbs = _coerce_inputs(scalars, points)
+    n = slimbs.shape[1]
     if n == 0:
         return None
-    num_zeros = sum(1 for s in scalars if s == 0)
-    if num_zeros >= ZERO_FILTER_THRESHOLD * n and num_zeros < n:
-        kept = [(s, p) for s, p in zip(scalars, points) if s != 0]
-        scalars = [s for s, _ in kept]
-        points = [p for _, p in kept]
-    elif num_zeros == n:
+    nonzero = (slimbs != 0).any(axis=0)  # vectorized zero scan
+    num_zeros = n - int(np.count_nonzero(nonzero))
+    if num_zeros == n:
         return None
-    if len(scalars) < CPU_THRESHOLD:
+    if num_zeros >= ZERO_FILTER_THRESHOLD * n:
+        px = np.ascontiguousarray(px[:, nonzero])
+        py = np.ascontiguousarray(py[:, nonzero])
+        slimbs = np.ascontiguousarray(slimbs[:, nonzero])
+    if slimbs.shape[1] < CPU_THRESHOLD:
         from tpu_msm.bindings import native
 
         if native.available():
-            px, py = interop.affine_points_to_limbs(points)
-            return native.msm(px, py, interop.ints_to_limbs(scalars))
-    return msm(points, scalars)
+            return native.msm(px, py, slimbs)
+    return msm((px, py), slimbs)

@@ -68,6 +68,14 @@ def _run_cpu(inst):
     return native.msm(inst.px, inst.py, inst.scalars)
 
 
+def _run_best(inst):
+    """The real adaptive dispatcher on the numpy production boundary
+    (reference best_gpu mode runs msm_best, gpu_profiler.rs:143-172)."""
+    from tpu_msm import msm_best
+
+    return msm_best(inst.scalars, (inst.px, inst.py))
+
+
 def _jac_to_affine(res):
     from tpu_msm.utils import interop
 
@@ -235,8 +243,10 @@ def main(argv=None):
     )
 
     # Warm-up compile (excluded from timing, like criterion's warmup).
-    if args.run_mode in ("tpu", "best", "check"):
+    if args.run_mode in ("tpu", "check"):
         _run_tpu(instances[0], cfg)
+    elif args.run_mode == "best":
+        _run_best(instances[0])
     elif args.run_mode == "sharded":
         _run_sharded(instances[0], cfg)
 
@@ -250,7 +260,7 @@ def main(argv=None):
             elif args.run_mode == "sharded":
                 _run_sharded(inst, cfg)
             elif args.run_mode == "best":
-                _run_tpu(inst, cfg)
+                _run_best(inst)
             elif args.run_mode == "cpu":
                 _run_cpu(inst)
             elif args.run_mode == "check":

@@ -34,6 +34,7 @@ boundary merge (msm.h.metal:169-297), minus the boundary special cases.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import math
 
@@ -104,11 +105,13 @@ def window_digits(scalar_limbs, cfg: MsmConfig):
     c = cfg.window_bits
     w = cfg.num_windows()
     if c == bn254.LIMB_BITS:
-        return scalar_limbs
+        return scalar_limbs[:w]
     if c == 8:
         lo = scalar_limbs & jnp.uint32(0xFF)
         hi = scalar_limbs >> jnp.uint32(8)
-        return jnp.stack([lo, hi], axis=1).reshape(w, *scalar_limbs.shape[1:])
+        full = jnp.stack([lo, hi], axis=1).reshape(
+            2 * bn254.LIMBS, *scalar_limbs.shape[1:])
+        return full[:w]
     return jnp.stack(
         [u256.extract_bits(scalar_limbs, i * c, min(c, 256 - i * c)) for i in range(w)]
     )
@@ -301,9 +304,8 @@ def window_sums(points: AffinePoint, scalar_limbs, cfg: MsmConfig) -> ProjPoint:
     lanes = min(cfg.scan_lanes, 1 << _ceil_log2(max(n, 1)))
     steps = -(-n // lanes)
     n_pad = lanes * steps
-    cfg = MsmConfig(window_bits=c, scan_lanes=lanes,
-                    reduce_fanout=cfg.reduce_fanout,
-                    backend=resolve_backend(cfg.backend))
+    cfg = dataclasses.replace(cfg, scan_lanes=lanes,
+                              backend=resolve_backend(cfg.backend))
 
     digits = window_digits(scalar_limbs, cfg)  # (W, N)
     if n_pad != n:

@@ -56,29 +56,45 @@ def _tree_reduce_last(pts: ProjPoint) -> ProjPoint:
     return pts
 
 
-def _local_step(px, py, slimbs, cfg: MsmConfig, axis: str) -> ProjPoint:
-    """Per-chip body: local window sums -> all_gather -> tree add -> Horner."""
+def _local_step(px, py, slimbs, cfg: MsmConfig, axis: str, axis_size: int,
+                collective: str) -> ProjPoint:
+    """Per-chip body: local window sums -> cross-chip EC reduction -> Horner.
+
+    collective="gather_tree": all_gather the (W, 16, 1) partials, every chip
+    folds the same fixed balanced tree (bit-identical replicas by shared
+    computation). collective="ppermute_tree": binomial reduce-to-chip-0 +
+    broadcast (parallel.collectives.ec_all_reduce) — bit-identical replicas
+    by byte broadcast, O(point) per ICI hop instead of O(D points).
+    """
     wsums = pippenger.window_sums(AffinePoint(px, py), slimbs, cfg)  # (W,16,1)
-    gathered = ProjPoint(
-        *(jax.lax.all_gather(a[..., 0], axis, axis=2)
-          for a in wsums)
-    )  # (W, 16, D)
-    gathered = ProjPoint(*(jnp.moveaxis(a, 0, 1) for a in gathered))  # (16,W,D)
-    total = _tree_reduce_last(gathered)  # (16, W, 1)
-    total = ProjPoint(*(jnp.moveaxis(a, 0, 1) for a in total))  # (W, 16, 1)
+    if collective == "ppermute_tree":
+        from tpu_msm.parallel import collectives
+
+        total = collectives.ec_all_reduce(wsums, axis, axis_size)
+    else:
+        gathered = ProjPoint(
+            *(jax.lax.all_gather(a[..., 0], axis, axis=2)
+              for a in wsums)
+        )  # (W, 16, D)
+        gathered = ProjPoint(*(jnp.moveaxis(a, 0, 1) for a in gathered))  # (16,W,D)
+        total = _tree_reduce_last(gathered)  # (16, W, 1)
+        total = ProjPoint(*(jnp.moveaxis(a, 0, 1) for a in total))  # (W, 16, 1)
     return pippenger.horner_fold(total, cfg.window_bits)
 
 
-def make_sharded_msm(mesh: Mesh, cfg: MsmConfig, axis: str = "data"):
+def make_sharded_msm(mesh: Mesh, cfg: MsmConfig, axis: str = "data",
+                     collective: str = "gather_tree"):
     """Build a jitted sharded MSM: (px, py, scalar_limbs) -> ProjPoint (16, 1).
 
     Inputs are (16, N) limb arrays with N divisible by the mesh axis size;
     they are sharded along N (in_specs P(None, axis)); the result is
     replicated. Pass arrays already placed with `shard_arrays` to avoid a
-    layout transfer on dispatch.
+    layout transfer on dispatch. `collective` picks the cross-chip EC
+    reduction (see _local_step).
     """
     fn = shard_map(
-        functools.partial(_local_step, cfg=cfg, axis=axis),
+        functools.partial(_local_step, cfg=cfg, axis=axis,
+                          axis_size=mesh.shape[axis], collective=collective),
         mesh=mesh,
         in_specs=(P(None, axis), P(None, axis), P(None, axis)),
         out_specs=P(),

@@ -1,0 +1,157 @@
+"""Measured autotuning of the Pippenger pipeline constants.
+
+The reference hard-codes every tuning constant with "TODO - learn how to
+calculate this" notes (src/metal/msm.rs:140,375; bucket_wise_accumulation.rs:
+38-49; sum_reduction.rs:38,109,162). Here the knobs (window_bits, scan_lanes,
+reduce_fanout) are swept ON DEVICE, the measurements are persisted to a
+committed JSON table, and `tpu_msm.utils.config.select_config` consults that
+table per (platform, log-size) before falling back to the cost-model
+heuristic.
+
+CLI:
+    python -m tpu_msm.utils.autotune --log-sizes 16 18 20 --repeats 3
+    python -m tpu_msm.utils.autotune --show
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import os
+import sys
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+TABLE_PATH = Path(__file__).with_name("tuned_configs.json")
+
+# Sweep space. window_bits in {8, 16} keeps digit extraction limb-aligned
+# (free); scan_lanes bounded by the fused-kernel VMEM budget
+# (pippenger._FUSED_MAX_LANES); fanout shapes the bucket-query reduction.
+DEFAULT_SPACE = {
+    "window_bits": [8, 16],
+    "scan_lanes": [2048, 4096, 8192],
+    "reduce_fanout": [1024, 2048, 4096],
+}
+
+
+def _platform() -> str:
+    import jax
+
+    return jax.default_backend()
+
+
+def load_table() -> dict:
+    if TABLE_PATH.exists():
+        with open(TABLE_PATH) as f:
+            return json.load(f)
+    return {}
+
+
+def lookup(n: int, platform: Optional[str] = None) -> Optional[dict]:
+    """Best measured config for size n on this platform, or None.
+
+    Accepts the nearest measured log size within +/-1 (timings vary smoothly
+    in log n); beyond that the heuristic is a safer bet than extrapolating.
+    """
+    table = load_table()
+    if platform is None:
+        try:
+            platform = _platform()
+        except Exception:
+            return None
+    rows = table.get(platform)
+    if not rows:
+        return None
+    logn = max(1, (n - 1).bit_length())
+    best_key = None
+    for key in rows:
+        dist = abs(int(key) - logn)
+        if dist <= 1 and (best_key is None or dist < abs(int(best_key) - logn)):
+            best_key = key
+    return rows[best_key]["best"] if best_key is not None else None
+
+
+def measure(log_size: int, cfg_kwargs: dict, repeats: int = 3) -> float:
+    """Median wall seconds of one jitted device MSM at 2^log_size."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_msm import msm_device
+    from tpu_msm.utils import preprocess
+    from tpu_msm.utils.config import MsmConfig
+
+    cfg = MsmConfig(**cfg_kwargs)
+    [inst] = preprocess.get_or_create_msm_instances(log_size, 1)
+    px, py, sl = (jnp.asarray(a) for a in (inst.px, inst.py, inst.scalars))
+    jax.block_until_ready(msm_device(px, py, sl, cfg))  # compile + warm
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(msm_device(px, py, sl, cfg))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def sweep(log_sizes: List[int], space: Dict[str, list] = None,
+          repeats: int = 3, verbose: bool = True) -> dict:
+    """Run the sweep, merge into the table, write it back, return it."""
+    space = space or DEFAULT_SPACE
+    platform = _platform()
+    table = load_table()
+    rows = table.setdefault(platform, {})
+    for log_size in log_sizes:
+        n = 1 << log_size
+        results = []
+        for wb, lanes, fanout in itertools.product(
+                space["window_bits"], space["scan_lanes"],
+                space["reduce_fanout"]):
+            if lanes * 2 > n:
+                continue  # thinner than one point per lane
+            kw = {"window_bits": wb, "scan_lanes": lanes,
+                  "reduce_fanout": fanout}
+            try:
+                t = measure(log_size, kw, repeats)
+            except Exception as e:  # OOM / unsupported combo: record + skip
+                if verbose:
+                    print(f"  2^{log_size} {kw}: FAILED ({type(e).__name__})",
+                          flush=True)
+                continue
+            results.append({**kw, "seconds": round(t, 6),
+                            "points_per_s": round(n / t, 1)})
+            if verbose:
+                print(f"  2^{log_size} {kw}: {t*1e3:.1f} ms "
+                      f"({n/t/1e6:.3f} Mpts/s)", flush=True)
+        if not results:
+            continue
+        results.sort(key=lambda r: r["seconds"])
+        rows[str(log_size)] = {
+            "best": {k: results[0][k]
+                     for k in ("window_bits", "scan_lanes", "reduce_fanout")},
+            "measurements": results,
+        }
+    with open(TABLE_PATH, "w") as f:
+        json.dump(table, f, indent=1, sort_keys=True)
+    return table
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--log-sizes", type=int, nargs="+", default=[16, 18, 20])
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--show", action="store_true",
+                    help="print the current table and exit")
+    args = ap.parse_args(argv)
+    if args.show:
+        json.dump(load_table(), sys.stdout, indent=1, sort_keys=True)
+        print()
+        return 0
+    sweep(args.log_sizes, repeats=args.repeats)
+    print(f"table written to {TABLE_PATH}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -34,8 +34,16 @@ class MsmConfig:
     # narrower than 1024 lanes fall back to jnp ops either way.
     backend: str = "auto"
 
+    # Number of significant scalar bits. BN254 Fr is a 254-bit prime
+    # (reference: ScalarGPU::MODULUS_BIT_SIZE, limbs_conversion.rs:49-63,
+    # driving window_num at msm.rs:143-146). Callers whose scalars are
+    # bounded tighter (e.g. small exponents) may lower this — windows above
+    # ceil(scalar_bits / window_bits) are provably all-zero and are neither
+    # computed nor compiled. Scalars MUST be < 2^scalar_bits.
+    scalar_bits: int = 254
+
     def num_windows(self) -> int:
-        return -(-256 // self.window_bits)
+        return -(-self.scalar_bits // self.window_bits)
 
     def buckets_per_window(self) -> int:
         return (1 << self.window_bits) - 1
@@ -53,9 +61,21 @@ def select_config(n: int) -> MsmConfig:
     """Size-driven config selection (reference: window_size heuristic,
     src/metal/msm.rs:135-141 picks c=15, or c=3 below 32 points).
 
-    Cost model: total EC adds ~= num_windows * (n + 2^c). c in {8, 16} keeps
-    digit extraction free (limb-aligned); crossover at n ~= 2^17.
+    First consults the measured autotune table (tpu_msm.utils.autotune —
+    the reference's "TODO - learn how to calculate this" done with data);
+    falls back to the cost model: total EC adds ~= num_windows * (n + 2^c),
+    c in {8, 16} keeps digit extraction free (limb-aligned), crossover at
+    n ~= 2^17.
     """
+    from tpu_msm.utils import autotune
+
+    tuned = autotune.lookup(n)
+    if tuned is not None:
+        lanes = tuned["scan_lanes"]
+        while lanes > 8 and lanes * 2 > n:
+            lanes //= 2
+        return MsmConfig(window_bits=tuned["window_bits"], scan_lanes=lanes,
+                         reduce_fanout=tuned["reduce_fanout"])
     if n < (1 << 17):
         c = 8
     else:

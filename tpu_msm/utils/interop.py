@@ -41,11 +41,21 @@ def ints_to_limbs(values: Sequence[int]) -> np.ndarray:
 
 
 def limbs_to_ints(limbs: np.ndarray) -> List[int]:
-    """(k, n) limb array -> list of Python ints (any limb count k)."""
-    limbs = np.asarray(limbs, dtype=np.uint64)
-    n = limbs.shape[1]
+    """(k, n) limb array -> list of Python ints (any limb count k).
+
+    Fast path for canonical (< 2^16) limbs goes through one bytes buffer —
+    a single int.from_bytes per element instead of k Python ops (the exit
+    analogue of the reference's zero-copy readback, msm.rs:330-343)."""
+    limbs = np.asarray(limbs)
+    k, n = limbs.shape
+    if n and limbs.max(initial=0) < (1 << LIMB_BITS):
+        data = np.ascontiguousarray(limbs.T.astype("<u2")).tobytes()
+        step = 2 * k
+        return [int.from_bytes(data[j * step:(j + 1) * step], "little")
+                for j in range(n)]
+    limbs = limbs.astype(np.uint64)
     out = [0] * n
-    for i in range(limbs.shape[0] - 1, -1, -1):
+    for i in range(k - 1, -1, -1):
         row = limbs[i]
         for j in range(n):
             out[j] = (out[j] << LIMB_BITS) | int(row[j])
