@@ -51,23 +51,42 @@ def test_window_digits(rng, c):
         assert [int(v) for v in got[:, i]] == exp, f"scalar {i}"
 
 
+@pytest.mark.parametrize("c,sbits", [(4, 254), (8, 254), (16, 254), (8, 32), (16, 32)])
+def test_signed_window_digits_recode(rng, c, sbits):
+    """Signed recoding must be exact: sum_i d'_i 2^(c*i) == scalar, with
+    |d'_i| <= 2^(c-1)."""
+    scalars = ([int.from_bytes(rng.bytes(32), "little") % (1 << sbits)
+                for _ in range(9)]
+               + [0, 1, (1 << sbits) - 1, (1 << (c - 1)), (1 << c) - 1])
+    cfg = MsmConfig(window_bits=c, scalar_bits=sbits, signed_digits=True)
+    limbs = jnp.asarray(interop.ints_to_limbs(scalars))
+    absd, neg = (np.asarray(a) for a in pippenger.signed_window_digits(limbs, cfg))
+    half = 1 << (c - 1)
+    assert (absd <= half).all()
+    for i, s in enumerate(scalars):
+        total = sum((-int(a) if ng else int(a)) << (c * w)
+                    for w, (a, ng) in enumerate(zip(absd[:, i], neg[:, i])))
+        assert total == s, f"scalar {i}: recode sums to {total}, want {s}"
+
+
 # ---------------------------------------------------------------------------
 # Stage 3+4 fused: per-window sum via the telescoped scan identity,
 # checked against the bucket-based oracle window sum.
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("c,n,lanes", [
-    (4, 37, 8),
-    pytest.param(8, 100, 16, marks=pytest.mark.slow),
-    pytest.param(8, 256, 64, marks=pytest.mark.slow),
+@pytest.mark.parametrize("c,n,lanes,signed", [
+    (4, 37, 8, False),
+    (4, 37, 8, True),
+    pytest.param(8, 100, 16, False, marks=pytest.mark.slow),
+    pytest.param(8, 256, 64, True, marks=pytest.mark.slow),
 ])
-def test_window_sum_vs_bucket_oracle(rng, c, n, lanes):
+def test_window_sum_vs_bucket_oracle(rng, c, n, lanes, signed):
     scalars = _rand_scalars(rng, n)
     # Force digit collisions and empty buckets: small digit space at c=4,
     # plus duplicated points.
     points = _gen_points(
         [int(rng.randint(1, 1 << 20)) for _ in range((n + 1) // 2)] * 2)[:n]
-    cfg = MsmConfig(window_bits=c, scan_lanes=lanes)
+    cfg = MsmConfig(window_bits=c, scan_lanes=lanes, signed_digits=signed)
     x, y = interop.affine_points_to_limbs(points)
     slimbs = jnp.asarray(interop.ints_to_limbs(scalars))
     res = jax.jit(pippenger.msm_projective, static_argnums=2)(
@@ -123,6 +142,9 @@ def test_msm_edge_vectors(rng):
     scalars = [0, FR - 1, 1, 0, FR - 2, 5, 2, FR - 1]
     cfg = MsmConfig(window_bits=8, scan_lanes=8)
     assert msm(pts, scalars, cfg) == oracle.msm(scalars, pts)
+    # Same workload through the signed-digit (balanced window) pipeline.
+    cfg_s = MsmConfig(window_bits=8, scan_lanes=8, signed_digits=True)
+    assert msm(pts, scalars, cfg_s) == oracle.msm(scalars, pts)
     # all-zero scalars
     assert msm_best([0] * 8, pts) is None
     # single max-scalar

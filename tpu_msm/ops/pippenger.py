@@ -117,6 +117,34 @@ def window_digits(scalar_limbs, cfg: MsmConfig):
     )
 
 
+def signed_window_digits(scalar_limbs, cfg: MsmConfig):
+    """(16, N) scalar limbs -> (W, N) |digit| uint32 + (W, N) negation mask.
+
+    Balanced (signed) window recoding: each unsigned digit d in [0, 2^c)
+    plus the incoming carry becomes d' = d + carry - 2^c (and carry 1) when
+    d + carry > 2^(c-1), else d' = d + carry (carry 0). Digits satisfy
+    |d'| <= 2^(c-1) and sum_i d'_i 2^(c*i) == scalar exactly. The final
+    carry lands in the headroom window cfg.num_windows() provides
+    (ceil((scalar_bits+1)/c)).
+    """
+    c = cfg.window_bits
+    w = cfg.num_windows()
+    half = jnp.uint32(1 << (c - 1))
+    full = jnp.uint32(1 << c)
+    raw = window_digits(scalar_limbs,
+                        dataclasses.replace(cfg, signed_digits=False))
+    zero = jnp.zeros_like(raw[0])
+    carry = zero
+    abs_rows, neg_rows = [], []
+    for i in range(w):
+        d = (raw[i] if i < raw.shape[0] else zero) + carry
+        neg = d > half
+        abs_rows.append(jnp.where(neg, full - d, d))
+        neg_rows.append(neg)
+        carry = neg.astype(jnp.uint32)
+    return jnp.stack(abs_rows), jnp.stack(neg_rows)
+
+
 def _lane_inclusive_scan(totals: ProjPoint, lanes: int, backend: str = "jnp") -> ProjPoint:
     """Hillis–Steele inclusive EC scan across the lane axis (last axis)."""
     lane_idx = jnp.arange(lanes)
@@ -183,14 +211,18 @@ def ec_reduce(pts: ProjPoint, fanout: int = 256, backend: str = "jnp") -> ProjPo
     return _roll_reduce(pts, b, backend)
 
 
-def _msm_window(digits, px, py, ppx, ppy, n: int, cfg: MsmConfig) -> ProjPoint:
+def _msm_window(digits_negm, px, py, ppx, ppy, n: int, cfg: MsmConfig) -> ProjPoint:
     """Window sum for one window. Returns (16, 1).
 
-    digits: (n_pad,) this window's digits (padding positions carry the 2^c
-    sentinel). px, py: (16, n+1) coordinates with an appended infinity
-    column (jnp fallback path). ppx, ppy: (8, n_pad) u16-pair-packed padded
-    coordinates (fused Pallas path), or None.
+    digits_negm: (digits, negm) — (n_pad,) this window's digits (padding
+    positions carry the m+1 sentinel) and, in signed-digit mode, the
+    (n_pad,) negation mask (else None). px, py: ((16, n+1), 2-tuple of
+    (16, n+1)) coordinates with an appended infinity column (jnp fallback
+    path; py = (y, P-y)). ppx, ppy: (8, n_pad) u16-pair-packed padded
+    coordinates (fused Pallas path; ppy = ((8,n_pad) y, (8,n_pad) P-y)),
+    or None.
     """
+    digits, negm = digits_negm
     c = cfg.window_bits
     m = cfg.buckets_per_window()
     n_pad = digits.shape[0]
@@ -211,8 +243,9 @@ def _msm_window(digits, px, py, ppx, ppy, n: int, cfg: MsmConfig) -> ProjPoint:
         from tpu_msm.ops import pallas_curve as pc
 
         r = lanes // pc.LANE
+        ppy_w = ppy[0] if negm is None else jnp.where(negm[None, :], ppy[1], ppy[0])
         sorted_ops = jax.lax.sort(
-            [digits] + [ppx[i] for i in range(8)] + [ppy[i] for i in range(8)],
+            [digits] + [ppx[i] for i in range(8)] + [ppy_w[i] for i in range(8)],
             num_keys=1)
         sorted_digits = sorted_ops[0]
         # Lane l scans sorted positions [l*steps, (l+1)*steps): reshape
@@ -226,12 +259,18 @@ def _msm_window(digits, px, py, ppx, ppy, n: int, cfg: MsmConfig) -> ProjPoint:
         ys48 = pc.scan_madd_packed_u16(sgx, sgy).reshape(48, steps, lanes)
         ys = ProjPoint(ys48[0:16], ys48[16:32], ys48[32:48])
     else:
+        if negm is None:
+            py_w = py[0]
+        else:
+            negm_cols = jnp.concatenate(
+                [negm[:n], jnp.zeros((1,), bool)])  # infinity column: plain
+            py_w = jnp.where(negm_cols[None, :], py[1], py[0])
         idx0 = jnp.arange(n_pad, dtype=jnp.int32)
         idx0 = jnp.where(idx0 >= n, n, idx0)  # pads hit the infinity column
         sorted_digits, sorted_idx = jax.lax.sort_key_val(digits, idx0)
         perm = jnp.moveaxis(sorted_idx.reshape(lanes, steps), 1, 0).reshape(-1)
         gx = jnp.take(px, perm, axis=1).reshape(bn254.LIMBS, steps, lanes)
-        gy = jnp.take(py, perm, axis=1).reshape(bn254.LIMBS, steps, lanes)
+        gy = jnp.take(py_w, perm, axis=1).reshape(bn254.LIMBS, steps, lanes)
 
         def step(acc, pt_xy):
             sx, sy = pt_xy
@@ -255,9 +294,9 @@ def _msm_window(digits, px, py, ppx, ppy, n: int, cfg: MsmConfig) -> ProjPoint:
     )  # exclusive inter-lane carries
 
     # Bucket segment starts via histogram + exclusive cumsum (the reference
-    # binary-searches per threadgroup, msm.h.metal:119-131). Digit value 2^c
+    # binary-searches per threadgroup, msm.h.metal:119-131). Digit value m+1
     # is the padding sentinel and lands in the dropped last bin.
-    counts = jnp.bincount(sorted_digits, length=(1 << c) + 1)
+    counts = jnp.bincount(sorted_digits, length=m + 2)
     cum = jnp.cumsum(counts)
     queries = jnp.concatenate([cum[:m], jnp.full((1,), n, cum.dtype)])  # s_1..s_M, n
 
@@ -282,9 +321,13 @@ def _msm_window(digits, px, py, ppx, ppy, n: int, cfg: MsmConfig) -> ProjPoint:
     x_starts = ProjPoint(*(a[:, :m] for a in xvals))     # X(s_b), b = 1..M
     sum_starts = ec_reduce(x_starts, cfg.reduce_fanout, backend)
 
-    # window_sum = M * X(n) - sum_b X(s_b), with M = 2^c - 1 all-ones.
-    return ec_add(_mul_all_ones(x_n, c, backend), curve.proj_neg(sum_starts),
-                  backend)
+    # window_sum = M * X(n) - sum_b X(s_b). Signed mode: M = 2^(c-1), a
+    # pure doubling chain; unsigned: M = 2^c - 1 all-ones.
+    if cfg.signed_digits:
+        mx = _mul_pow2(x_n, c - 1, backend)
+    else:
+        mx = _mul_all_ones(x_n, c, backend)
+    return ec_add(mx, curve.proj_neg(sum_starts), backend)
 
 
 def window_sums(points: AffinePoint, scalar_limbs, cfg: MsmConfig) -> ProjPoint:
@@ -307,33 +350,56 @@ def window_sums(points: AffinePoint, scalar_limbs, cfg: MsmConfig) -> ProjPoint:
     cfg = dataclasses.replace(cfg, scan_lanes=lanes,
                               backend=resolve_backend(cfg.backend))
 
-    digits = window_digits(scalar_limbs, cfg)  # (W, N)
+    m = cfg.buckets_per_window()
+    if cfg.signed_digits:
+        digits, negm = signed_window_digits(scalar_limbs, cfg)  # (W, N) each
+        y_neg = field.neg_mod(points.y)  # negated points for negative digits
+    else:
+        digits = window_digits(scalar_limbs, cfg)  # (W, N)
+        negm = y_neg = None
     if n_pad != n:
-        # Padding: sentinel digit 2^c (sorts last, dropped bin); the padded
+        # Padding: sentinel digit m+1 (sorts last, dropped bin); the padded
         # positions carry the infinity point — both absorbed by the window
         # reduction.
         digits = jnp.pad(digits, ((0, 0), (0, n_pad - n)),
-                         constant_values=jnp.uint32(1 << c))
+                         constant_values=jnp.uint32(m + 1))
+        if negm is not None:
+            negm = jnp.pad(negm, ((0, 0), (0, n_pad - n)))
     # Appended infinity column backs the padded indices (jnp fallback path).
     px = jnp.concatenate([points.x, field.zero((1,))], axis=1)
-    py = jnp.concatenate([points.y, field.zero((1,))], axis=1)
+    py = (jnp.concatenate([points.y, field.zero((1,))], axis=1),
+          None if y_neg is None
+          else jnp.concatenate([y_neg, field.zero((1,))], axis=1))
     if _use_pallas(cfg.backend, lanes) and lanes <= _FUSED_MAX_LANES:
         # u16-pair-packed coordinates, zero-padded to n_pad ((0,0) affine
         # sentinel = infinity). Packed once here, sorted per window.
         ppx = jnp.pad(pack_u16_rows(points.x), ((0, 0), (0, n_pad - n)))
-        ppy = jnp.pad(pack_u16_rows(points.y), ((0, 0), (0, n_pad - n)))
+        ppy = (jnp.pad(pack_u16_rows(points.y), ((0, 0), (0, n_pad - n))),
+               None if y_neg is None
+               else jnp.pad(pack_u16_rows(y_neg), ((0, 0), (0, n_pad - n))))
     else:
         ppx = ppy = None
 
     window_fn = functools.partial(_msm_window, px=px, py=py, ppx=ppx, ppy=ppy,
                                   n=n, cfg=cfg)
-    return jax.lax.map(window_fn, digits)
+    if negm is None:
+        return jax.lax.map(lambda d: window_fn((d, None)), digits)
+    return jax.lax.map(window_fn, (digits, negm))
 
 
 def pack_u16_rows(a):
     """(16, N) canonical u16 rows -> (8, N): row 2i in the low 16 bits of
     packed row i, row 2i+1 in the high 16 bits."""
     return a[0::2] | (a[1::2] << jnp.uint32(16))
+
+
+def _mul_pow2(p: ProjPoint, k: int, backend: str) -> ProjPoint:
+    """2^k · p via k complete self-adds (signed-digit window weight)."""
+
+    def body(_, acc):
+        return ec_add(acc, acc, backend)
+
+    return jax.lax.fori_loop(0, k, body, p)
 
 
 def _mul_all_ones(p: ProjPoint, c: int, backend: str) -> ProjPoint:

@@ -28,12 +28,16 @@ TABLE_PATH = Path(__file__).with_name("tuned_configs.json")
 
 # Sweep space. window_bits in {8, 16} keeps digit extraction limb-aligned
 # (free); scan_lanes bounded by the fused-kernel VMEM budget
-# (pippenger._FUSED_MAX_LANES); fanout shapes the bucket-query reduction.
+# (pippenger._FUSED_MAX_LANES); fanout shapes the bucket-query reduction;
+# signed_digits halves the bucket range (balanced windows).
 DEFAULT_SPACE = {
     "window_bits": [8, 16],
     "scan_lanes": [2048, 4096, 8192],
     "reduce_fanout": [1024, 2048, 4096],
+    "signed_digits": [False, True],
 }
+
+_KNOBS = ("window_bits", "scan_lanes", "reduce_fanout", "signed_digits")
 
 
 def _platform() -> str:
@@ -105,13 +109,13 @@ def sweep(log_sizes: List[int], space: Dict[str, list] = None,
     for log_size in log_sizes:
         n = 1 << log_size
         results = []
-        for wb, lanes, fanout in itertools.product(
+        for wb, lanes, fanout, signed in itertools.product(
                 space["window_bits"], space["scan_lanes"],
-                space["reduce_fanout"]):
+                space["reduce_fanout"], space.get("signed_digits", [False])):
             if lanes * 2 > n:
                 continue  # thinner than one point per lane
             kw = {"window_bits": wb, "scan_lanes": lanes,
-                  "reduce_fanout": fanout}
+                  "reduce_fanout": fanout, "signed_digits": signed}
             try:
                 t = measure(log_size, kw, repeats)
             except Exception as e:  # OOM / unsupported combo: record + skip
@@ -128,8 +132,7 @@ def sweep(log_sizes: List[int], space: Dict[str, list] = None,
             continue
         results.sort(key=lambda r: r["seconds"])
         rows[str(log_size)] = {
-            "best": {k: results[0][k]
-                     for k in ("window_bits", "scan_lanes", "reduce_fanout")},
+            "best": {k: results[0][k] for k in _KNOBS},
             "measurements": results,
         }
     with open(TABLE_PATH, "w") as f:

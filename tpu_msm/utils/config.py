@@ -42,10 +42,25 @@ class MsmConfig:
     # computed nor compiled. Scalars MUST be < 2^scalar_bits.
     scalar_bits: int = 254
 
+    # Signed-digit (balanced) window recoding: digits live in
+    # [-2^(c-1), 2^(c-1)] instead of [0, 2^c), negative digits negate the
+    # point (y -> P - y, free in affine form). Halves the bucket range —
+    # half the bucket-boundary queries and reduction work per window — and
+    # turns the M*X(n) term into pure doublings (M = 2^(c-1)). The window
+    # count needs one extra bit of headroom for the recoding carry
+    # (ceil((scalar_bits+1)/c)) — identical to the unsigned count unless
+    # window_bits divides scalar_bits. Bit-exactness is unaffected: the
+    # digits still sum to the scalar exactly (SURVEY §7 allows signed
+    # windows explicitly).
+    signed_digits: bool = False
+
     def num_windows(self) -> int:
-        return -(-self.scalar_bits // self.window_bits)
+        bits = self.scalar_bits + (1 if self.signed_digits else 0)
+        return -(-bits // self.window_bits)
 
     def buckets_per_window(self) -> int:
+        if self.signed_digits:
+            return 1 << (self.window_bits - 1)
         return (1 << self.window_bits) - 1
 
 
@@ -75,7 +90,8 @@ def select_config(n: int) -> MsmConfig:
         while lanes > 8 and lanes * 2 > n:
             lanes //= 2
         return MsmConfig(window_bits=tuned["window_bits"], scan_lanes=lanes,
-                         reduce_fanout=tuned["reduce_fanout"])
+                         reduce_fanout=tuned["reduce_fanout"],
+                         signed_digits=tuned.get("signed_digits", False))
     if n < (1 << 17):
         c = 8
     else:
