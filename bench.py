@@ -40,8 +40,10 @@ def _random_inputs(n: int, seed: int = 1):
     for _ in range(base_count):
         base.append(acc)
         acc = oracle.ec_add(acc, step)
-    pts = [base[i % base_count] for i in range(n)]
-    px, py = interop.affine_points_to_limbs(pts)
+    bx, by = interop.affine_points_to_limbs(base)
+    reps = -(-n // base_count)
+    px = np.tile(bx, reps)[:, :n]  # numpy tiling: no per-element Python work
+    py = np.tile(by, reps)[:, :n]
     sbytes = rng.bytes(32 * n)
     scalars = np.frombuffer(sbytes, dtype="<u2").reshape(n, 16).T.astype(np.uint32)
     scalars[15] &= 0x3FFF  # < 2^254 < r is fine for throughput purposes
@@ -52,6 +54,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--log-size", type=int, default=20)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--stream-above", type=int, default=22,
+                    help="log size beyond which the chunked streaming path "
+                         "is used (working set exceeds HBM headroom)")
     ap.add_argument("--check", action="store_true",
                     help="verify result vs the Python oracle (slow; small sizes)")
     args = ap.parse_args()
@@ -60,24 +65,31 @@ def main():
     import jax.numpy as jnp
 
     from tpu_msm import msm_device
+    from tpu_msm.ops import streaming
     from tpu_msm.utils.config import select_config
 
     n = 1 << args.log_size
-    cfg = select_config(n)
+    cfg = select_config(min(n, 1 << args.stream_above))
     px, py, sl = _random_inputs(n)
-    px, py, sl = jnp.asarray(px), jnp.asarray(py), jnp.asarray(sl)
+
+    if args.log_size > args.stream_above:
+        run = lambda: streaming.msm_streamed(px, py, sl, cfg,
+                                             chunk_log=args.stream_above)
+    else:
+        dpx, dpy, dsl = jnp.asarray(px), jnp.asarray(py), jnp.asarray(sl)
+        run = lambda: msm_device(dpx, dpy, dsl, cfg)
 
     # Compile (excluded from timing). NOTE: on the remote-tunneled TPU
     # platform block_until_ready returns at enqueue time, so every timed
     # iteration ends with a device->host fetch of the (tiny) result — the
     # transfer cannot complete before the compute does.
-    res = msm_device(px, py, sl, cfg)
+    res = run()
     np.asarray(res.x)
 
     times = []
     for _ in range(args.iters):
         t0 = time.perf_counter()
-        res = msm_device(px, py, sl, cfg)
+        res = run()
         np.asarray(res.x)
         times.append(time.perf_counter() - t0)
     med = sorted(times)[len(times) // 2]

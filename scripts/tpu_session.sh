@@ -1,0 +1,46 @@
+#!/bin/bash
+# One-shot TPU measurement session: run everything that needs the real chip
+# and leave committed artifacts behind. Run whenever the axon tunnel is up:
+#
+#   bash scripts/tpu_session.sh [logdir]
+#
+# Produces, under artifacts/ (committed):
+#   kernel_check_tpu.log    compiled-Pallas-kernel correctness on hardware
+#   stage_profile.log       per-stage timings + roofline at log 20
+#   autotune sweep          -> tpu_msm/utils/tuned_configs.json
+#   bench_log{20,22,24}.json  headline throughput runs
+set -u
+cd "$(dirname "$0")/.."
+OUT=${1:-artifacts}
+mkdir -p "$OUT"
+
+run() {  # run <name> <timeout-s> <cmd...>
+  local name=$1 tmo=$2; shift 2
+  echo "=== $name ($(date +%H:%M:%S)) ==="
+  timeout "$tmo" "$@" > "$OUT/$name.log" 2>&1
+  echo "    rc=$? tail:"; tail -3 "$OUT/$name.log" | sed 's/^/    /'
+}
+
+# 1. Compiled (non-interpret) Pallas kernels vs jnp ops, on hardware.
+run kernel_check_tpu 900 python -m tpu_msm.cli.profiler --check-kernels
+
+# 2. Stage profile + roofline at the canonical log-20 workload.
+run stage_profile 1800 python - <<'EOF'
+import logging
+logging.basicConfig(level=logging.INFO)
+from tpu_msm.utils import profiling
+import json
+r = profiling.roofline(20)
+print(json.dumps({k: (round(v, 6) if isinstance(v, float) else v)
+                  for k, v in r.items()}))
+EOF
+
+# 3. Measured autotune sweep (writes tpu_msm/utils/tuned_configs.json).
+run autotune 7200 python -m tpu_msm.utils.autotune --log-sizes 16 18 20 --repeats 3
+
+# 4. Headline benches (after tuning).
+for LOG in 20 22 24; do
+  run "bench_log${LOG}" 3600 python bench.py --log-size "$LOG"
+done
+
+echo "=== done; review $OUT/, tuned_configs.json, then commit ==="
