@@ -83,8 +83,25 @@ def main():
     # platform block_until_ready returns at enqueue time, so every timed
     # iteration ends with a device->host fetch of the (tiny) result — the
     # transfer cannot complete before the compute does.
-    res = run()
-    np.asarray(res.x)
+    try:
+        res = run()
+        np.asarray(res.x)
+    except Exception as e:  # insurance: never miss the bench on a tuned-
+        # config compile failure — retry once with the conservative config.
+        print(f"bench: config {cfg} failed ({type(e).__name__}); "
+              "falling back to the baseline config", file=sys.stderr)
+        from tpu_msm.utils.config import MsmConfig
+
+        cfg = MsmConfig(window_bits=cfg.window_bits,
+                        scan_lanes=cfg.scan_lanes,
+                        reduce_fanout=cfg.reduce_fanout)
+        if args.log_size > args.stream_above:
+            run = lambda: streaming.msm_streamed(px, py, sl, cfg,
+                                                 chunk_log=args.stream_above)
+        else:
+            run = lambda: msm_device(dpx, dpy, dsl, cfg)
+        res = run()
+        np.asarray(res.x)
 
     times = []
     for _ in range(args.iters):

@@ -43,4 +43,9 @@ for LOG in 20 22 24; do
   run "bench_log${LOG}" 3600 python bench.py --log-size "$LOG"
 done
 
+# 5. Reference-parity profiler workloads (BASELINE configs 4-5: the
+#    `gpu_profiler 20 5` batched workload and the large sizes).
+run profiler_20x5 3600 python -m tpu_msm.cli.profiler 20 5 tpu 2
+run profiler_22_stream 3600 python -m tpu_msm.cli.profiler 22 1 stream 2
+
 echo "=== done; review $OUT/, tuned_configs.json, then commit ==="

@@ -1,0 +1,137 @@
+"""15-bit-limb field core tests (ops/f15.py) — differential vs Python ints.
+
+Same oracle pattern as test_field.py for the u16 core (reference analogue:
+shader-op unit tests vs arkworks, src/metal/tests/test_bn254.rs:237-296).
+All eager small-array jnp: no XLA pipeline compiles, host-tier fast.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpu_msm.models import bn254
+from tpu_msm.ops import ec_rows, f15
+from tpu_msm.ops import pallas_curve as pc
+from tpu_msm.utils import oracle
+
+P = bn254.P
+R = 1 << 256
+
+
+def _to_rows(vals):
+    """list of ints -> 17-row f15 representation (batch = len(vals))."""
+    return [jnp.asarray([(v >> (15 * j)) & 0x7FFF for v in vals], jnp.uint32)
+            for j in range(f15.NROWS)]
+
+
+def _from_rows(rows):
+    out = [0] * int(rows[0].shape[0])
+    for j in range(len(rows) - 1, -1, -1):
+        col = np.asarray(rows[j])
+        for i in range(len(out)):
+            out[i] = (out[i] << 15) | int(col[i])
+    return out
+
+
+def _to_u16(vals):
+    return [jnp.asarray([(v >> (16 * j)) & 0xFFFF for v in vals], jnp.uint32)
+            for j in range(16)]
+
+
+def _from_u16(rows):
+    out = [0] * int(rows[0].shape[0])
+    for j in range(len(rows) - 1, -1, -1):
+        col = np.asarray(rows[j])
+        for i in range(len(out)):
+            out[i] = (out[i] << 16) | int(col[i])
+    return out
+
+
+def _rand_fp(rng, k):
+    return [int.from_bytes(rng.bytes(32), "little") % P for _ in range(k)]
+
+
+def test_row_conversions_roundtrip(rng):
+    vals = _rand_fp(rng, 16) + [0, 1, P - 1]
+    r15 = f15.from_u16_rows(_to_u16(vals))
+    assert _from_rows(r15) == vals
+    back = f15.to_u16_rows(r15)
+    assert _from_u16(back) == vals
+
+
+def test_f15_mont_mul_vs_ints(rng):
+    a = _rand_fp(rng, 12) + [0, 1, P - 1, 1]
+    b = _rand_fp(rng, 12) + [P - 1, 0, P - 1, 1]
+    got = _from_rows(f15.mont_mul(_to_rows(a), _to_rows(b)))
+    want = [x * y * pow(R, -1, P) % P for x, y in zip(a, b)]
+    assert got == want
+
+
+def test_f15_add_sub_neg_mul9_halve(rng):
+    a = _rand_fp(rng, 10) + [0, P - 1]
+    b = _rand_fp(rng, 10) + [0, 1]
+    ra, rb = _to_rows(a), _to_rows(b)
+    assert _from_rows(f15.add_mod(ra, rb)) == [(x + y) % P for x, y in zip(a, b)]
+    assert _from_rows(f15.sub_mod(ra, rb)) == [(x - y) % P for x, y in zip(a, b)]
+    assert _from_rows(f15.neg_mod(ra)) == [(-x) % P for x in a]
+    assert _from_rows(f15.mul9(ra)) == [9 * x % P for x in a]
+    assert _from_rows(f15._halve(ra)) == [x * pow(2, -1, P) % P for x in a]
+
+
+def test_f15_scan_step_matches_u16_pipeline(rng):
+    """Three eager f15 scan steps (the exact per-grid-step compute of
+    pallas_curve._scan_madd_u16_f15_kernel, incl. the packed-input unpack,
+    the infinity init, and the u16 wire output) vs curve.proj_madd."""
+    import jax.numpy as jnp_
+
+    from tpu_msm.ops import curve
+    from tpu_msm.ops.curve import AffinePoint
+    from tpu_msm.ops.pippenger import pack_u16_rows
+    from tpu_msm.utils import interop
+
+    ks = [[3, 7], [5, 0], [11, 2]]  # step 1 lane 1: infinity sentinel
+    steps_pts = [[oracle.ec_mul(oracle.GEN, k) if k else None for k in row]
+                 for row in ks]
+    acc = (f15.bcast_rows([np.uint32(0)] * f15.NROWS, jnp_.zeros(2, jnp_.uint32)),
+           f15.bcast_rows(f15.ONE_MONT_ROWS, jnp_.zeros(2, jnp_.uint32)),
+           f15.bcast_rows([np.uint32(0)] * f15.NROWS, jnp_.zeros(2, jnp_.uint32)))
+    ref_acc = curve.proj_infinity((2,))
+    for pts in steps_pts:
+        x, y = interop.affine_points_to_limbs(pts)
+        gx = pack_u16_rows(jnp_.asarray(x))
+        gy = pack_u16_rows(jnp_.asarray(y))
+        acc, out48 = pc.f15_scan_step(acc, [gx[i] for i in range(8)],
+                                      [gy[i] for i in range(8)])
+        ref_acc = curve.proj_madd(
+            ref_acc, AffinePoint(jnp_.asarray(x), jnp_.asarray(y)))
+        got = np.stack([np.asarray(r) for r in out48])
+        want = np.concatenate([np.asarray(a) for a in ref_acc])
+        assert (got == want).all()
+
+
+def test_f15_proj_madd_matches_u16_core(rng):
+    """The shared RCB formulas over F15 must agree bit-for-bit with the u16
+    core on the same points (incl. doubling, negation, and infinity cases)."""
+    k1 = [3, 5, 9, 9, 1, 7]
+    k2 = [4, 11, 9, oracle.FR - 9, 2, 0]  # equal, inverse, and zero cases
+    p1 = [oracle.ec_mul(oracle.GEN, k) for k in k1]
+    p2 = [oracle.ec_mul(oracle.GEN, k) if k else None for k in k2]
+    to_m = lambda v: v * (R % P) % P
+    x1 = _to_u16([to_m(p[0]) for p in p1])
+    y1 = _to_u16([to_m(p[1]) for p in p1])
+    z1 = _to_u16([to_m(1)] * len(p1))
+    x2 = _to_u16([to_m(p[0]) if p else 0 for p in p2])
+    y2 = _to_u16([to_m(p[1]) if p else 0 for p in p2])
+
+    r16 = ec_rows.proj_madd(pc.F16, x1, y1, z1, x2, y2)
+    r15 = ec_rows.proj_madd(
+        f15, f15.from_u16_rows(x1), f15.from_u16_rows(y1),
+        f15.from_u16_rows(z1), f15.from_u16_rows(x2), f15.from_u16_rows(y2))
+    for a, b in zip(r16, (f15.to_u16_rows(r) for r in r15)):
+        assert _from_u16(a) == _from_u16(b)
+    # Sanity vs the oracle on the generic lane 0: (k1+k2)·G
+    got = _from_u16(r16[0])[0], _from_u16(r16[1])[0], _from_u16(r16[2])[0]
+    rinv = pow(R, -1, P)
+    x, y, z = (v * rinv % P for v in got)
+    zi = pow(z, P - 2, P)
+    assert (x * zi % P, y * zi % P) == oracle.ec_mul(oracle.GEN, k1[0] + k2[0])

@@ -166,6 +166,26 @@ def test_scan_madd_u16_matches_stepwise():
         _assert_proj_equal(got, acc)
 
 
+def test_scan_madd_u16_f15_matches_u16():
+    """The 15-bit-limb scan kernel must be bit-identical to the u16 kernel
+    on the same packed inputs (incl. an infinity-sentinel column)."""
+    from tpu_msm.ops.pippenger import pack_u16_rows
+
+    rng = np.random.RandomState(81)
+    _, _, xs, ys = _stacked_steps(rng)
+    # Force a (0, 0) infinity sentinel into step 1, lane 0.
+    xs[1] = xs[1].at[:, 0].set(0)
+    ys[1] = ys[1].at[:, 0].set(0)
+    r = LANES // pc.LANE
+    pgx = jnp.stack([pack_u16_rows(a).reshape(8, r, pc.LANE) for a in xs],
+                    axis=1)
+    pgy = jnp.stack([pack_u16_rows(a).reshape(8, r, pc.LANE) for a in ys],
+                    axis=1)
+    ref = pc.scan_madd_packed_u16(pgx, pgy, interpret=True)
+    got = pc.scan_madd_packed_u16_f15(pgx, pgy, interpret=True)
+    assert (np.asarray(ref) == np.asarray(got)).all()
+
+
 def test_fold_add_matches_stepwise():
     rng = np.random.RandomState(78)
     gx, gy, xs, ys = _stacked_steps(rng)

@@ -16,6 +16,7 @@ gpu_profiler.rs:143-172, mapped to the TPU architecture):
     best     adaptive dispatcher msm_best              (≙ "best_gpu")
     cpu      native C++ host engine                    (≙ "cpu")
     check    run tpu AND cpu, assert identical results (≙ "check")
+    stream   chunked streaming MSM (beyond-HBM sizes; ops/streaming.py)
 
 Per-stage timing goes through the standard `logging` module (reference uses
 log::debug timers, msm.rs:193-215): set TPU_MSM_LOG=debug or -v.
@@ -74,6 +75,17 @@ def _run_best(inst):
     from tpu_msm import msm_best
 
     return msm_best(inst.scalars, (inst.px, inst.py))
+
+
+def _run_stream(inst, cfg, chunk_log: int = 20):
+    import jax
+
+    from tpu_msm.ops import streaming
+
+    res = streaming.msm_streamed(inst.px, inst.py, inst.scalars, cfg,
+                                 chunk_log=chunk_log)
+    jax.block_until_ready(res)
+    return res
 
 
 def _jac_to_affine(res):
@@ -184,6 +196,13 @@ def check_kernels() -> int:
     if not ok:
         failures.append("scan_madd_packed_u16")
 
+    # 15-bit-limb core: must be bit-identical to the u16 kernel (ops/f15.py).
+    ys48_f15 = pc.scan_madd_packed_u16_f15(pgx, pgy)
+    ok = bool((np.asarray(ys48) == np.asarray(ys48_f15)).all())
+    log.info("kernel %-18s %s", "scan_madd_u16_f15", "OK" if ok else "MISMATCH")
+    if not ok:
+        failures.append("scan_madd_u16_f15")
+
     projs = [curve.proj_double(curve.affine_to_proj(AffinePoint(x, y)))
              for x, y in zip(sx, sy)]
     bx_, by_, bz_ = (jnp.stack([getattr(pt, f).reshape(bn254.LIMBS, r, pc.LANE)
@@ -209,7 +228,7 @@ def main(argv=None):
     ap.add_argument("log_instance_size", type=int, nargs="?")
     ap.add_argument("num_instances", type=int, nargs="?", default=1)
     ap.add_argument("run_mode", nargs="?", default="tpu",
-                    choices=["tpu", "sharded", "best", "cpu", "check"])
+                    choices=["tpu", "sharded", "best", "cpu", "check", "stream"])
     ap.add_argument("retries", type=int, nargs="?", default=1)
     ap.add_argument("-v", "--verbose", action="store_true")
     ap.add_argument("--check-kernels", action="store_true",
@@ -249,6 +268,8 @@ def main(argv=None):
         _run_best(instances[0])
     elif args.run_mode == "sharded":
         _run_sharded(instances[0], cfg)
+    elif args.run_mode == "stream":
+        _run_stream(instances[0], cfg)
 
     total = 0.0
     runs = 0
@@ -263,6 +284,8 @@ def main(argv=None):
                 _run_best(inst)
             elif args.run_mode == "cpu":
                 _run_cpu(inst)
+            elif args.run_mode == "stream":
+                _run_stream(inst, cfg)
             elif args.run_mode == "check":
                 got = _jac_to_affine(_run_tpu(inst, cfg))
                 want = _run_cpu(inst)

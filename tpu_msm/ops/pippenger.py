@@ -256,7 +256,9 @@ def _msm_window(digits_negm, px, py, ppx, ppy, n: int, cfg: MsmConfig) -> ProjPo
                            1, 2).reshape(8, steps, r, pc.LANE)
         # Whole scan as ONE pallas_call: accumulator in VMEM scratch across
         # all steps; ys48 rows 0:16/16:32/32:48 are X/Y/Z prefix sums.
-        ys48 = pc.scan_madd_packed_u16(sgx, sgy).reshape(48, steps, lanes)
+        scan_kernel = (pc.scan_madd_packed_u16_f15 if cfg.field_impl == "f15"
+                       else pc.scan_madd_packed_u16)
+        ys48 = scan_kernel(sgx, sgy).reshape(48, steps, lanes)
         ys = ProjPoint(ys48[0:16], ys48[16:32], ys48[32:48])
     else:
         if negm is None:

@@ -35,9 +35,11 @@ DEFAULT_SPACE = {
     "scan_lanes": [2048, 4096, 8192],
     "reduce_fanout": [1024, 2048, 4096],
     "signed_digits": [False, True],
+    "field_impl": ["u16", "f15"],
 }
 
-_KNOBS = ("window_bits", "scan_lanes", "reduce_fanout", "signed_digits")
+_KNOBS = ("window_bits", "scan_lanes", "reduce_fanout", "signed_digits",
+          "field_impl")
 
 
 def _platform() -> str:
@@ -109,13 +111,15 @@ def sweep(log_sizes: List[int], space: Dict[str, list] = None,
     for log_size in log_sizes:
         n = 1 << log_size
         results = []
-        for wb, lanes, fanout, signed in itertools.product(
+        for wb, lanes, fanout, signed, fimpl in itertools.product(
                 space["window_bits"], space["scan_lanes"],
-                space["reduce_fanout"], space.get("signed_digits", [False])):
+                space["reduce_fanout"], space.get("signed_digits", [False]),
+                space.get("field_impl", ["u16"])):
             if lanes * 2 > n:
                 continue  # thinner than one point per lane
             kw = {"window_bits": wb, "scan_lanes": lanes,
-                  "reduce_fanout": fanout, "signed_digits": signed}
+                  "reduce_fanout": fanout, "signed_digits": signed,
+                  "field_impl": fimpl}
             try:
                 t = measure(log_size, kw, repeats)
             except Exception as e:  # OOM / unsupported combo: record + skip

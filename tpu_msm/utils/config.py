@@ -54,6 +54,13 @@ class MsmConfig:
     # windows explicitly).
     signed_digits: bool = False
 
+    # Limb representation inside the fused scan kernel: "u16" (16x16-bit
+    # rows) or "f15" (17x15-bit rows — grouped raw product accumulation,
+    # ~30% fewer VPU ops per mixed add; see ops/f15.py). Wire format at the
+    # kernel boundary is identical, so this is purely a kernel-internal
+    # choice; results are bit-exact either way.
+    field_impl: str = "u16"
+
     def num_windows(self) -> int:
         bits = self.scalar_bits + (1 if self.signed_digits else 0)
         return -(-bits // self.window_bits)
@@ -91,13 +98,24 @@ def select_config(n: int) -> MsmConfig:
             lanes //= 2
         return MsmConfig(window_bits=tuned["window_bits"], scan_lanes=lanes,
                          reduce_fanout=tuned["reduce_fanout"],
-                         signed_digits=tuned.get("signed_digits", False))
+                         signed_digits=tuned.get("signed_digits", False),
+                         field_impl=tuned.get("field_impl", "u16"))
     if n < (1 << 17):
         c = 8
+        signed = False
+        fimpl = "u16"
     else:
         c = 16
+        # Large sizes: balanced windows halve the bucket-query/reduce work
+        # and the 15-bit limb core cuts ~30% of the scan kernel's VPU ops;
+        # both are bit-exact vs the u16/unsigned path (tests/test_f15.py,
+        # test_pippenger.py) — strictly less work, so on by default. The
+        # measured autotune table overrides this heuristic when present.
+        signed = True
+        fimpl = "f15"
     lanes = 8192
     # Small inputs: don't spread thinner than one point per lane.
     while lanes > 8 and lanes * 2 > n:
         lanes //= 2
-    return MsmConfig(window_bits=c, scan_lanes=lanes)
+    return MsmConfig(window_bits=c, scan_lanes=lanes, signed_digits=signed,
+                     field_impl=fimpl)
