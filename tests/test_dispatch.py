@@ -17,6 +17,28 @@ from tpu_msm.utils import autotune
 from tpu_msm.utils.config import MsmConfig, select_config
 
 
+@pytest.mark.device
+def test_msm_hybrid_matches_oracle(rng):
+    """Device + native-CPU split (reference gpu_with_cpu, msm.rs:366-421):
+    both halves run, partials EC-add to the oracle result."""
+    from tpu_msm.bindings import native
+    from tpu_msm.hybrid import msm_hybrid
+    from tpu_msm.utils import interop, oracle
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    n = 48
+    scalars = [int.from_bytes(rng.bytes(32), "little") % bn254.FR
+               for _ in range(n)]
+    points = [oracle.ec_mul(oracle.GEN, int(rng.randint(1, 1 << 20)))
+              for _ in range(n)]
+    px, py = interop.affine_points_to_limbs(points)
+    sl = interop.ints_to_limbs(scalars)
+    cfg = MsmConfig(window_bits=8, scan_lanes=8)
+    got = msm_hybrid(px, py, sl, cfg, share=0.5)
+    assert got == oracle.msm(scalars, points)
+
+
 def _array_inputs(rng, n):
     ks = [int(rng.randint(1, 1 << 22)) for _ in range(n)]
     pts = [oracle.ec_mul(oracle.GEN, k) for k in ks]

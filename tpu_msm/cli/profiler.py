@@ -17,6 +17,7 @@ gpu_profiler.rs:143-172, mapped to the TPU architecture):
     cpu      native C++ host engine                    (≙ "cpu")
     check    run tpu AND cpu, assert identical results (≙ "check")
     stream   chunked streaming MSM (beyond-HBM sizes; ops/streaming.py)
+    hybrid   device + native-CPU split (≙ "gpu_cpu"; tpu_msm/hybrid.py)
 
 Per-stage timing goes through the standard `logging` module (reference uses
 log::debug timers, msm.rs:193-215): set TPU_MSM_LOG=debug or -v.
@@ -75,6 +76,12 @@ def _run_best(inst):
     from tpu_msm import msm_best
 
     return msm_best(inst.scalars, (inst.px, inst.py))
+
+
+def _run_hybrid(inst, cfg):
+    from tpu_msm.hybrid import msm_hybrid
+
+    return msm_hybrid(inst.px, inst.py, inst.scalars, cfg)
 
 
 def _run_stream(inst, cfg, chunk_log: int = 20):
@@ -228,7 +235,7 @@ def main(argv=None):
     ap.add_argument("log_instance_size", type=int, nargs="?")
     ap.add_argument("num_instances", type=int, nargs="?", default=1)
     ap.add_argument("run_mode", nargs="?", default="tpu",
-                    choices=["tpu", "sharded", "best", "cpu", "check", "stream"])
+                    choices=["tpu", "sharded", "best", "cpu", "check", "stream", "hybrid"])
     ap.add_argument("retries", type=int, nargs="?", default=1)
     ap.add_argument("-v", "--verbose", action="store_true")
     ap.add_argument("--check-kernels", action="store_true",
@@ -270,6 +277,8 @@ def main(argv=None):
         _run_sharded(instances[0], cfg)
     elif args.run_mode == "stream":
         _run_stream(instances[0], cfg)
+    elif args.run_mode == "hybrid":
+        _run_hybrid(instances[0], cfg)
 
     total = 0.0
     runs = 0
@@ -286,6 +295,8 @@ def main(argv=None):
                 _run_cpu(inst)
             elif args.run_mode == "stream":
                 _run_stream(inst, cfg)
+            elif args.run_mode == "hybrid":
+                _run_hybrid(inst, cfg)
             elif args.run_mode == "check":
                 got = _jac_to_affine(_run_tpu(inst, cfg))
                 want = _run_cpu(inst)
