@@ -135,3 +135,32 @@ def test_f15_proj_madd_matches_u16_core(rng):
     x, y, z = (v * rinv % P for v in got)
     zi = pow(z, P - 2, P)
     assert (x * zi % P, y * zi % P) == oracle.ec_mul(oracle.GEN, k1[0] + k2[0])
+
+
+def test_f15_proj_add_matches_u16_core(rng):
+    """Full projective add (nontrivial z on both sides, plus equal and
+    infinite operands) — F15 vs F16 bit-identity."""
+    k1 = [3, 6, 6, 0]
+    k2 = [4, 6, 0, 5]
+    to_m = lambda v: v * (R % P) % P
+
+    def proj(ks):
+        # z = 2 (Montgomery): scale affine coords by 2, 4 to get (2x:2y... )
+        # homogeneous (X:Y:Z) = (x*z : y*z : z) for z = 3.
+        xs, ys_, zs = [], [], []
+        for k in ks:
+            if k == 0:
+                xs.append(0); ys_.append(to_m(1)); zs.append(0)
+            else:
+                x, y = oracle.ec_mul(oracle.GEN, k)
+                xs.append(to_m(x * 3 % P)); ys_.append(to_m(y * 3 % P))
+                zs.append(to_m(3))
+        return _to_u16(xs), _to_u16(ys_), _to_u16(zs)
+
+    p1 = proj(k1)
+    p2 = proj(k2)
+    r16 = ec_rows.proj_add(pc.F16, *p1, *p2)
+    r15 = ec_rows.proj_add(f15, *(f15.from_u16_rows(a) for a in p1),
+                           *(f15.from_u16_rows(a) for a in p2))
+    for a, b in zip(r16, (f15.to_u16_rows(r) for r in r15)):
+        assert _from_u16(a) == _from_u16(b)

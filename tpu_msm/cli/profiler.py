@@ -203,12 +203,21 @@ def check_kernels() -> int:
     if not ok:
         failures.append("scan_madd_packed_u16")
 
-    # 15-bit-limb core: must be bit-identical to the u16 kernel (ops/f15.py).
+    # 15-bit-limb core: must be bit-identical to the u16 kernels (ops/f15.py).
     ys48_f15 = pc.scan_madd_packed_u16_f15(pgx, pgy)
     ok = bool((np.asarray(ys48) == np.asarray(ys48_f15)).all())
     log.info("kernel %-18s %s", "scan_madd_u16_f15", "OK" if ok else "MISMATCH")
     if not ok:
         failures.append("scan_madd_u16_f15")
+
+    res = pc.pmadd_packed(pk(p.x), pk(p.y), pk(p.z), pk(q_aff.x), pk(q_aff.y),
+                          impl="f15")
+    verify("pmadd_packed_f15", ProjPoint(*(pc.unpack_lanes(r) for r in res)),
+           curve.proj_madd(p, q_aff), curve.proj_eq)
+    res = pc.padd_packed(pk(p.x), pk(p.y), pk(p.z), pk(q.x), pk(q.y), pk(q.z),
+                         impl="f15")
+    verify("padd_packed_f15", ProjPoint(*(pc.unpack_lanes(r) for r in res)),
+           curve.proj_add(p, q), curve.proj_eq)
 
     projs = [curve.proj_double(curve.affine_to_proj(AffinePoint(x, y)))
              for x, y in zip(sx, sy)]
@@ -220,6 +229,10 @@ def check_kernels() -> int:
     for pt in projs:
         acc = curve.proj_add(acc, pt)
     verify("fold_add_packed",
+           ProjPoint(*(a.reshape(bn254.LIMBS, lanes) for a in (fx, fy, fz))),
+           acc, curve.proj_eq)
+    fx, fy, fz = pc.fold_add_packed(bx_, by_, bz_, impl="f15")
+    verify("fold_add_f15",
            ProjPoint(*(a.reshape(bn254.LIMBS, lanes) for a in (fx, fy, fz))),
            acc, curve.proj_eq)
 

@@ -451,6 +451,35 @@ def _padd_kernel(ax, ay, az, bx, by, bz, ox, oy, oz):
     oz[...] = jnp.stack(rz)
 
 
+def _f15_in(ref):
+    """u16 block ref -> 17 f15 rows (kernel-boundary conversion, ~3 ops/row)."""
+    from tpu_msm.ops import f15
+
+    return f15.from_u16_rows(_rows_of(ref[...]))
+
+
+def _f15_out(rows):
+    from tpu_msm.ops import f15
+
+    return jnp.stack(f15.to_u16_rows(rows))
+
+
+def _pmadd_f15_kernel(px_, py_, pz_, qx_, qy_, ox, oy, oz):
+    from tpu_msm.ops import f15
+
+    rx, ry, rz = _ec.proj_madd(f15, _f15_in(px_), _f15_in(py_), _f15_in(pz_),
+                               _f15_in(qx_), _f15_in(qy_))
+    ox[...], oy[...], oz[...] = _f15_out(rx), _f15_out(ry), _f15_out(rz)
+
+
+def _padd_f15_kernel(ax, ay, az, bx, by, bz, ox, oy, oz):
+    from tpu_msm.ops import f15
+
+    rx, ry, rz = _ec.proj_add(f15, _f15_in(ax), _f15_in(ay), _f15_in(az),
+                              _f15_in(bx), _f15_in(by), _f15_in(bz))
+    ox[...], oy[...], oz[...] = _f15_out(rx), _f15_out(ry), _f15_out(rz)
+
+
 # ---------------------------------------------------------------------------
 # Whole-stage fused kernels. The stepwise wrappers above launch one
 # pallas_call per scan/fold step, so the EC accumulator round-trips HBM on
@@ -638,42 +667,69 @@ def _fold_add_kernel(bx, by, bz, ox, oy, oz, ax, ay, az):
     ox[...], oy[...], oz[...] = sx, sy, sz
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def fold_add_packed(bx, by, bz, interpret: bool = False):
+def _fold_add_f15_kernel(bx, by, bz, ox, oy, oz, ax, ay, az):
+    from tpu_msm.ops import f15
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        ax[...] = jnp.zeros(ax.shape, jnp.uint32)
+        az[...] = jnp.zeros(az.shape, jnp.uint32)
+        ay[...] = jnp.stack(
+            [jnp.full(ay.shape[1:], c, jnp.uint32) for c in f15.ONE_MONT_ROWS])
+
+    rx, ry, rz = _ec.proj_add(
+        f15,
+        [ax[i] for i in range(f15.NROWS)],
+        [ay[i] for i in range(f15.NROWS)],
+        [az[i] for i in range(f15.NROWS)],
+        f15.from_u16_rows(_rows_of(bx[:, 0])),
+        f15.from_u16_rows(_rows_of(by[:, 0])),
+        f15.from_u16_rows(_rows_of(bz[:, 0])))
+    ax[...], ay[...], az[...] = jnp.stack(rx), jnp.stack(ry), jnp.stack(rz)
+    ox[...], oy[...], oz[...] = _f15_out(rx), _f15_out(ry), _f15_out(rz)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "impl"))
+def fold_add_packed(bx, by, bz, interpret: bool = False, impl: str = "u16"):
     """EC-sum over the step axis (complete projective add): one pallas_call,
     accumulator in VMEM scratch.
 
     bx/by/bz: (16, steps, R, 128) projective points (limbs-leading — a
     row-major (16, N) batch reshapes in for free). Returns the
-    (16, R, 128) per-lane sums over the step axis.
+    (16, R, 128) per-lane sums over the step axis. impl="f15" keeps the
+    accumulator in the 15-bit-limb core (ops/f15.py), same wire format.
     """
+    from tpu_msm.ops import f15
+
     _, steps, r, _ = bx.shape
+    acc_rows = f15.NROWS if impl == "f15" else NROWS
+    kernel = _fold_add_f15_kernel if impl == "f15" else _fold_add_kernel
     in_spec = pl.BlockSpec((NROWS, 1, r, LANE), lambda i: (0, i, 0, 0),
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((NROWS, r, LANE), lambda i: (0, 0, 0),
                             memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((NROWS, r, LANE), jnp.uint32)
     out = pl.pallas_call(
-        _fold_add_kernel,
+        kernel,
         grid=(steps,),
         in_specs=[in_spec] * 3,
         out_specs=[out_spec] * 3,
         out_shape=[shape] * 3,
-        scratch_shapes=[pltpu.VMEM((NROWS, r, LANE), jnp.uint32)] * 3,
+        scratch_shapes=[pltpu.VMEM((acc_rows, r, LANE), jnp.uint32)] * 3,
         interpret=interpret,
     )(bx, by, bz)
     return tuple(out)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "sub"))
+@functools.partial(jax.jit, static_argnames=("interpret", "sub", "impl"))
 def pmadd_packed(px_, py_, pz_, qx_, qy_, interpret: bool = False,
-                 sub: int | None = None):
+                 sub: int | None = None, impl: str = "u16"):
     """Complete projective mixed add on packed (16, R, 128) uint32 arrays."""
     s = _pick_sub(px_.shape[1], sub)
     grid = (px_.shape[1] // s,)
     shape = jax.ShapeDtypeStruct(px_.shape, jnp.uint32)
     out = pl.pallas_call(
-        _pmadd_kernel,
+        _pmadd_f15_kernel if impl == "f15" else _pmadd_kernel,
         grid=grid,
         in_specs=[_spec(s)] * 5,
         out_specs=[_spec(s)] * 3,
@@ -683,15 +739,15 @@ def pmadd_packed(px_, py_, pz_, qx_, qy_, interpret: bool = False,
     return tuple(out)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "sub"))
+@functools.partial(jax.jit, static_argnames=("interpret", "sub", "impl"))
 def padd_packed(ax, ay, az, bx, by, bz, interpret: bool = False,
-                sub: int | None = None):
+                sub: int | None = None, impl: str = "u16"):
     """Complete projective add on packed (16, R, 128) uint32 arrays."""
     s = _pick_sub(ax.shape[1], sub)
     grid = (ax.shape[1] // s,)
     shape = jax.ShapeDtypeStruct(ax.shape, jnp.uint32)
     out = pl.pallas_call(
-        _padd_kernel,
+        _padd_f15_kernel if impl == "f15" else _padd_kernel,
         grid=grid,
         in_specs=[_spec(s)] * 6,
         out_specs=[_spec(s)] * 3,

@@ -71,26 +71,29 @@ def _use_pallas(backend: str, width: int) -> bool:
             and width % _PALLAS_MIN_WIDTH == 0)
 
 
-def ec_madd(acc: ProjPoint, pt: AffinePoint, backend: str) -> ProjPoint:
+def ec_madd(acc: ProjPoint, pt: AffinePoint, backend: str,
+            impl: str = "u16") -> ProjPoint:
     """Complete projective mixed add (RCB), dispatched on batch width."""
     if _use_pallas(backend, acc.x.shape[-1]):
         from tpu_msm.ops import pallas_curve as pc
 
         res = pc.pmadd_packed(
             pc.pack_lanes(acc.x), pc.pack_lanes(acc.y), pc.pack_lanes(acc.z),
-            pc.pack_lanes(pt.x), pc.pack_lanes(pt.y))
+            pc.pack_lanes(pt.x), pc.pack_lanes(pt.y), impl=impl)
         return ProjPoint(*(pc.unpack_lanes(r) for r in res))
     return curve.proj_madd(acc, pt)
 
 
-def ec_add(p: ProjPoint, q: ProjPoint, backend: str) -> ProjPoint:
+def ec_add(p: ProjPoint, q: ProjPoint, backend: str,
+           impl: str = "u16") -> ProjPoint:
     """Complete projective add (RCB), dispatched on batch width."""
     if _use_pallas(backend, p.x.shape[-1]):
         from tpu_msm.ops import pallas_curve as pc
 
         res = pc.padd_packed(
             pc.pack_lanes(p.x), pc.pack_lanes(p.y), pc.pack_lanes(p.z),
-            pc.pack_lanes(q.x), pc.pack_lanes(q.y), pc.pack_lanes(q.z))
+            pc.pack_lanes(q.x), pc.pack_lanes(q.y), pc.pack_lanes(q.z),
+            impl=impl)
         return ProjPoint(*(pc.unpack_lanes(r) for r in res))
     return curve.proj_add(p, q)
 
@@ -145,20 +148,22 @@ def signed_window_digits(scalar_limbs, cfg: MsmConfig):
     return jnp.stack(abs_rows), jnp.stack(neg_rows)
 
 
-def _lane_inclusive_scan(totals: ProjPoint, lanes: int, backend: str = "jnp") -> ProjPoint:
+def _lane_inclusive_scan(totals: ProjPoint, lanes: int, backend: str = "jnp",
+                         impl: str = "u16") -> ProjPoint:
     """Hillis–Steele inclusive EC scan across the lane axis (last axis)."""
     lane_idx = jnp.arange(lanes)
 
     def level(i, t):
         sh = jnp.left_shift(jnp.int32(1), i)
         rolled = ProjPoint(*(jnp.roll(a, sh, axis=-1) for a in t))
-        added = ec_add(t, rolled, backend)
+        added = ec_add(t, rolled, backend, impl)
         return curve.select_point(lane_idx >= sh, added, t)
 
     return jax.lax.fori_loop(0, _ceil_log2(lanes), level, totals)
 
 
-def _sequential_fold(pts: ProjPoint, lanes: int, steps: int, backend: str = "jnp") -> ProjPoint:
+def _sequential_fold(pts: ProjPoint, lanes: int, steps: int, backend: str = "jnp",
+                     impl: str = "u16") -> ProjPoint:
     """EC-sum `steps` groups of points down to one group: (16, lanes*steps)
     -> (16, lanes). Point→lane grouping differs between the two paths, which
     is fine — every caller reduces over the lane axis afterwards."""
@@ -167,18 +172,19 @@ def _sequential_fold(pts: ProjPoint, lanes: int, steps: int, backend: str = "jnp
 
         r = lanes // pc.LANE
         arrs = [a.reshape(bn254.LIMBS, steps, r, pc.LANE) for a in pts]
-        res = pc.fold_add_packed(*arrs)
+        res = pc.fold_add_packed(*arrs, impl=impl)
         return ProjPoint(*(a.reshape(bn254.LIMBS, lanes) for a in res))
     grouped = ProjPoint(*(a.reshape(bn254.LIMBS, lanes, steps) for a in pts))
 
     def body(k, acc):
         nxt = ProjPoint(*(a[:, :, k] for a in grouped))
-        return ec_add(acc, nxt, backend)
+        return ec_add(acc, nxt, backend, impl)
 
     return jax.lax.fori_loop(0, steps, body, curve.proj_infinity((lanes,)))
 
 
-def _roll_reduce(pts: ProjPoint, width: int, backend: str) -> ProjPoint:
+def _roll_reduce(pts: ProjPoint, width: int, backend: str,
+                 impl: str = "u16") -> ProjPoint:
     """EC-sum of (16, width) -> (16, 1) via log2(width) full-width rolled
     adds (after level k, lane i holds the wrapped sum of lanes [i, i+2^k);
     lane 0 ends with the total). Fixed width at every level — one Pallas
@@ -186,13 +192,14 @@ def _roll_reduce(pts: ProjPoint, width: int, backend: str) -> ProjPoint:
     def level(i, t):
         sh = jnp.left_shift(jnp.int32(1), i)
         rolled = ProjPoint(*(jnp.roll(a, -sh, axis=-1) for a in t))
-        return ec_add(t, rolled, backend)
+        return ec_add(t, rolled, backend, impl)
 
     out = jax.lax.fori_loop(0, _ceil_log2(width), level, pts)
     return ProjPoint(*(a[..., :1] for a in out))
 
 
-def ec_reduce(pts: ProjPoint, fanout: int = 256, backend: str = "jnp") -> ProjPoint:
+def ec_reduce(pts: ProjPoint, fanout: int = 256, backend: str = "jnp",
+              impl: str = "u16") -> ProjPoint:
     """EC-sum of a (16, B) batch of Jacobian points -> (16, 1).
 
     Sequential folds down to `fanout` lanes, then a fixed-width rolled tree.
@@ -206,9 +213,9 @@ def ec_reduce(pts: ProjPoint, fanout: int = 256, backend: str = "jnp") -> ProjPo
         pts = ProjPoint(*(jnp.concatenate([a, i], axis=-1) for a, i in zip(pts, inf)))
         b = b_pad
     if b > fanout:
-        pts = _sequential_fold(pts, fanout, b // fanout, backend)
+        pts = _sequential_fold(pts, fanout, b // fanout, backend, impl)
         b = fanout
-    return _roll_reduce(pts, b, backend)
+    return _roll_reduce(pts, b, backend, impl)
 
 
 def _msm_window(digits_negm, px, py, ppx, ppy, n: int, cfg: MsmConfig) -> ProjPoint:
@@ -287,7 +294,7 @@ def _msm_window(digits_negm, px, py, ppx, ppy, n: int, cfg: MsmConfig) -> ProjPo
     # ys: ProjPoint of (16, steps, lanes) — per-lane inclusive local scans.
 
     totals = ProjPoint(*(a[:, -1] for a in ys))
-    inc = _lane_inclusive_scan(totals, lanes, backend)
+    inc = _lane_inclusive_scan(totals, lanes, backend, cfg.field_impl)
     lane_idx = jnp.arange(lanes)
     carry = curve.select_point(
         lane_idx >= 1,
@@ -321,7 +328,8 @@ def _msm_window(digits_negm, px, py, ppx, ppy, n: int, cfg: MsmConfig) -> ProjPo
 
     x_n = ProjPoint(*(a[:, m:] for a in xvals))          # X(n), batch (1,)
     x_starts = ProjPoint(*(a[:, :m] for a in xvals))     # X(s_b), b = 1..M
-    sum_starts = ec_reduce(x_starts, cfg.reduce_fanout, backend)
+    sum_starts = ec_reduce(x_starts, cfg.reduce_fanout, backend,
+                           cfg.field_impl)
 
     # window_sum = M * X(n) - sum_b X(s_b). Signed mode: M = 2^(c-1), a
     # pure doubling chain; unsigned: M = 2^c - 1 all-ones.
