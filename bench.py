@@ -87,14 +87,14 @@ def main():
         res = run()
         np.asarray(res.x)
     except Exception as e:  # insurance: never miss the bench on a tuned-
-        # config compile failure — retry once with the conservative config.
+        # config compile failure — retry once with the conservative default
+        # knobs (NOT the failed config's: an OOMing scan_lanes/fanout must
+        # not be copied into the retry).
         print(f"bench: config {cfg} failed ({type(e).__name__}); "
               "falling back to the baseline config", file=sys.stderr)
         from tpu_msm.utils.config import MsmConfig
 
-        cfg = MsmConfig(window_bits=cfg.window_bits,
-                        scan_lanes=cfg.scan_lanes,
-                        reduce_fanout=cfg.reduce_fanout)
+        cfg = MsmConfig(window_bits=16, scan_lanes=4096, reduce_fanout=2048)
         if args.log_size > args.stream_above:
             run = lambda: streaming.msm_streamed(px, py, sl, cfg,
                                                  chunk_log=args.stream_above)

@@ -19,19 +19,26 @@
 
 #include <cstdint>
 #include <cstring>
+#include <mutex>
 
 namespace {
 PyObject* g_embed_module = nullptr;  // tpu_msm.bindings.embed, owned ref
 PyThreadState* g_main_tstate = nullptr;
+std::mutex g_init_mutex;  // serializes first-time init across host threads
 }  // namespace
 
 extern "C" {
 
 // Initialize the embedded interpreter and import the MSM module.
-// Returns 0 on success, negative on failure. Idempotent.
+// Returns 0 on success, negative on failure. Idempotent and thread-safe.
 int tpu_msm_init(void) {
+  std::lock_guard<std::mutex> lock(g_init_mutex);
   if (g_embed_module != nullptr) return 0;
-  if (!Py_IsInitialized()) {
+  // Only release the GIL at the end if WE created the interpreter: a host
+  // that already embeds CPython legitimately holds the GIL on entry, and
+  // stealing it (PyEval_SaveThread) would crash the host on return.
+  const bool we_initialized = !Py_IsInitialized();
+  if (we_initialized) {
     Py_InitializeEx(0);  // no signal handlers: the host owns signals
   }
   PyGILState_STATE gil = PyGILState_Ensure();
@@ -43,8 +50,9 @@ int tpu_msm_init(void) {
   }
   g_embed_module = mod;
   PyGILState_Release(gil);
-  // Release the GIL so host threads can call in (each call re-acquires).
-  if (g_main_tstate == nullptr && PyGILState_Check()) {
+  // Release the GIL we implicitly hold after Py_InitializeEx so host
+  // threads can call in (each entry point re-acquires via PyGILState).
+  if (we_initialized && g_main_tstate == nullptr && PyGILState_Check()) {
     g_main_tstate = PyEval_SaveThread();
   }
   return 0;

@@ -51,17 +51,14 @@ RUN_DEVICE = bool(os.environ.get("TPU_MSM_RUN_DEVICE")) or _HAS_ACCELERATOR
 
 # Per-host-CPU cache dir: XLA:CPU AOT cache entries are not portable across
 # machine types (a foreign entry loads with feature-mismatch warnings and
-# can hang at execution) — same scheme as __graft_entry__._host_cache_dir.
-import hashlib  # noqa: E402
+# can hang at execution). Single source of truth for the key scheme:
+# __graft_entry__._host_cache_dir (repo root is on sys.path under pytest).
+import sys  # noqa: E402
 
-try:
-    with open("/proc/cpuinfo") as _f:
-        _flags = next((l for l in _f if l.startswith("flags")), "unknown")
-except OSError:
-    _flags = "unknown"
-_cache_dir = os.path.join(
-    os.path.dirname(__file__), "..", ".cache",
-    f"jax-{hashlib.md5(_flags.encode()).hexdigest()[:8]}")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from __graft_entry__ import _host_cache_dir  # noqa: E402
+
+_cache_dir = _host_cache_dir()
 os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

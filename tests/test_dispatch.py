@@ -48,16 +48,33 @@ def _array_inputs(rng, n):
     return pts, scalars, px, py, sl
 
 
+def _require_native():
+    """These dispatch below CPU_THRESHOLD; without the native engine they
+    would fall through to a minutes-long XLA:CPU pipeline compile, busting
+    the bounded host tier (same guard as test_native.py)."""
+    from tpu_msm.bindings import native
+
+    if not native.available():
+        pytest.skip("native engine unavailable (no toolchain)")
+
+
 def test_msm_best_array_boundary(rng):
     """(16, N) limb arrays in -> same result as the list path, all-numpy
     entry (no per-element Python conversion)."""
+    _require_native()
     pts, scalars, px, py, sl = _array_inputs(rng, 120)
     got = msm_best(sl, (px, py))
     assert got == oracle.msm(scalars, pts)
     assert got == msm_best(scalars, pts)
+    # 1-D numpy scalar arrays are an int sequence, not a limb array
+    small = np.array([3, 5], dtype=np.uint64)
+    assert msm_best(small, pts[:2]) == oracle.msm([3, 5], pts[:2])
+    with pytest.raises(ValueError):
+        msm_best(sl.T, (px, py))  # (N, 16): wrong orientation
 
 
 def test_msm_best_array_zero_filter(rng):
+    _require_native()
     pts, scalars, px, py, sl = _array_inputs(rng, 60)
     sl[:, ::2] = 0  # 50% zero columns -> filter path
     scalars = [0 if i % 2 == 0 else s for i, s in enumerate(scalars)]

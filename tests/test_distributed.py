@@ -31,9 +31,14 @@ def _env(devices: int) -> dict:
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)  # no TPU tunnel in subprocesses
     env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count={devices} "
-                        "--xla_backend_optimization_level=0")
-    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(REPO, ".cache", "jax")
+    # Default backend optimization: -O0 halves compile time but makes
+    # EXECUTION of these EC graphs pathologically slow (the measured fact in
+    # tests/conftest.py) — the subprocesses share the host-keyed persistent
+    # cache instead.
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={devices}"
+    import __graft_entry__
+
+    env["JAX_COMPILATION_CACHE_DIR"] = __graft_entry__._host_cache_dir()
     env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1.0"
     return env
 

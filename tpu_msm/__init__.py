@@ -104,14 +104,23 @@ def _coerce_inputs(scalars, points):
         (< r), points = (px, py) pair of (16, N) Montgomery limb arrays —
         the zero-conversion production path.
     """
-    if hasattr(scalars, "shape"):
+    if hasattr(scalars, "shape") and getattr(scalars, "ndim", 0) == 2:
         slimbs = np.ascontiguousarray(np.asarray(scalars, dtype=np.uint32))
+        if slimbs.shape[0] != bn254.LIMBS:
+            raise ValueError(
+                f"scalar limb arrays must be ({bn254.LIMBS}, N), "
+                f"got {slimbs.shape}")
     else:
-        slimbs = interop.ints_to_limbs([s % bn254.FR for s in scalars])
+        # int sequence (lists, tuples, or 1-D numpy arrays of scalars)
+        slimbs = interop.ints_to_limbs([int(s) % bn254.FR for s in scalars])
     if (isinstance(points, (list, tuple)) and len(points) == 2
             and hasattr(points[0], "shape")):
         px = np.ascontiguousarray(np.asarray(points[0], dtype=np.uint32))
         py = np.ascontiguousarray(np.asarray(points[1], dtype=np.uint32))
+        if px.shape[0] != bn254.LIMBS or px.shape != py.shape:
+            raise ValueError(
+                f"point limb arrays must be ({bn254.LIMBS}, N) pairs, "
+                f"got {px.shape} / {py.shape}")
     else:
         px, py = interop.affine_points_to_limbs(points)
     if slimbs.shape[1] != px.shape[1]:

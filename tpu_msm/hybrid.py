@@ -63,11 +63,17 @@ def msm_hybrid(px, py, scalars, cfg=None, share: float | None = None) -> Affine:
     split = max(1, min(n, int(n * share)))
 
     cpu_result: list = [None]
+    cpu_error: list = [None]
 
     def cpu_half():  # runs while the device computes its half
-        if split < n:
-            cpu_result[0] = native.msm(px[:, split:], py[:, split:],
-                                       scalars[:, split:])
+        try:
+            if split < n:
+                cpu_result[0] = native.msm(px[:, split:], py[:, split:],
+                                           scalars[:, split:])
+        except BaseException as e:  # re-raised on the caller thread below —
+            # a swallowed failure would silently drop the CPU partial and
+            # return a wrong result.
+            cpu_error[0] = e
 
     t = threading.Thread(target=cpu_half)
     t.start()
@@ -77,4 +83,6 @@ def msm_hybrid(px, py, scalars, cfg=None, share: float | None = None) -> Affine:
     [dev_pt] = interop.proj_limbs_to_affine_points(
         np.asarray(res.x), np.asarray(res.y), np.asarray(res.z))
     t.join()
+    if cpu_error[0] is not None:
+        raise RuntimeError("hybrid CPU half failed") from cpu_error[0]
     return oracle.ec_add(dev_pt, cpu_result[0])

@@ -36,11 +36,23 @@ def _ceil_log2(x: int) -> int:
 def ec_all_reduce(pt: ProjPoint, axis_name: str, axis_size: int) -> ProjPoint:
     """EC all-reduce of a per-chip ProjPoint along `axis_name`.
 
+    pt arrays must be LIMBS-FIRST (leading axis = 16): the curve ops
+    broadcast their limb constants against axis 0, so a (W, 16, 1)
+    window-sum layout must be transposed before calling (enforced below —
+    the silent-corruption shape (W=16) is indistinguishable, so the check
+    is on the leading axis).
+
     Binomial-tree reduce to chip 0 (fixed association order — the same
     deterministic-tree requirement as sharded._tree_reduce_last) followed by
     a binomial broadcast; 2*ceil(log2(D)) ppermute hops riding ICI. Works
     for any axis size. Inside shard_map only.
     """
+    from tpu_msm.models import bn254
+
+    if pt.x.shape[0] != bn254.LIMBS:
+        raise ValueError(
+            f"ec_all_reduce needs limbs-first arrays (leading axis "
+            f"{bn254.LIMBS}), got {pt.x.shape}; moveaxis the limb axis to 0")
     idx = lax.axis_index(axis_name)
     levels = _ceil_log2(axis_size)
 

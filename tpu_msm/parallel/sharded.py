@@ -70,7 +70,10 @@ def _local_step(px, py, slimbs, cfg: MsmConfig, axis: str, axis_size: int,
     if collective == "ppermute_tree":
         from tpu_msm.parallel import collectives
 
-        total = collectives.ec_all_reduce(wsums, axis, axis_size)
+        # curve ops need the limb axis leading (see _tree_reduce_last).
+        lf = ProjPoint(*(jnp.moveaxis(a, 1, 0) for a in wsums))  # (16, W, 1)
+        total = collectives.ec_all_reduce(lf, axis, axis_size)
+        total = ProjPoint(*(jnp.moveaxis(a, 0, 1) for a in total))  # (W,16,1)
     else:
         gathered = ProjPoint(
             *(jax.lax.all_gather(a[..., 0], axis, axis=2)

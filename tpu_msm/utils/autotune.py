@@ -48,11 +48,20 @@ def _platform() -> str:
     return jax.default_backend()
 
 
+_table_cache: tuple = (None, None)  # (mtime, parsed) — lookup() sits on the
+# per-MSM dispatch path via select_config, so re-parsing the JSON per call
+# would add file I/O to every msm()/msm_best().
+
+
 def load_table() -> dict:
-    if TABLE_PATH.exists():
+    global _table_cache
+    if not TABLE_PATH.exists():
+        return {}
+    mtime = TABLE_PATH.stat().st_mtime_ns
+    if _table_cache[0] != mtime:
         with open(TABLE_PATH) as f:
-            return json.load(f)
-    return {}
+            _table_cache = (mtime, json.load(f))
+    return _table_cache[1]
 
 
 def lookup(n: int, platform: Optional[str] = None) -> Optional[dict]:
