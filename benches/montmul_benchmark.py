@@ -1,0 +1,119 @@
+"""Montgomery-multiply throughput microbenchmark (the BASELINE.md kernel
+acceptance metric: per-chip mont-mul rate within 1.5x of the VPU roofline).
+
+Times a fused Pallas kernel that chains K dependent Montgomery multiplies
+per lane entirely in VMEM scratch (chaining defeats dead-code elimination
+and mirrors how the EC formulas consume the multiplier), for both limb
+cores (u16 and f15). Reference analogue: the mul shader is the unit of all
+cost in the reference too (CIOS at fp_bn254.h.metal:237-290) — it just never
+measured it.
+
+    python benches/montmul_benchmark.py --lanes 65536 --chain 256 --iters 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+
+import numpy as np
+
+
+def _build_kernel(impl: str, chain: int, r: int):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from tpu_msm.ops import f15
+    from tpu_msm.ops import pallas_curve as pc
+
+    nrows = pc.NROWS
+
+    def kernel(x_ref, out_ref, acc):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            acc[...] = x_ref[...]
+
+        rows = [acc[i] for i in range(nrows)]
+        xin = [x_ref[i] for i in range(nrows)]
+        if impl == "f15":
+            rows15 = f15.from_u16_rows(rows)
+            x15 = f15.from_u16_rows(xin)
+            for _ in range(chain):
+                rows15 = f15.mont_mul(rows15, x15)
+            rows = f15.to_u16_rows(rows15)
+        else:
+            for _ in range(chain):
+                rows = pc.mont_mul(rows, xin)
+        acc[...] = jnp.stack(rows)
+        out_ref[...] = acc[...]
+
+    @functools.partial(jax.jit, static_argnames=("steps",))
+    def run(x, steps: int):
+        spec = pl.BlockSpec((nrows, r, pc.LANE), lambda i: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(steps,),
+            in_specs=[spec],
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((nrows, r, pc.LANE), jnp.uint32),
+            scratch_shapes=[pltpu.VMEM((nrows, r, pc.LANE), jnp.uint32)],
+        )(x)
+
+    return run
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lanes", type=int, default=65536)
+    ap.add_argument("--chain", type=int, default=64,
+                    help="dependent muls per grid step (trace-unrolled)")
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from tpu_msm.models import bn254
+    from tpu_msm.utils import interop
+    from tpu_msm.utils.profiling import VPU_U32_OPS_PER_S
+
+    r = args.lanes // 128
+    rng = np.random.RandomState(11)
+    vals = [int.from_bytes(rng.bytes(32), "little") % bn254.P
+            for _ in range(min(args.lanes, 128))]
+    x = np.tile(interop.ints_to_limbs(vals), args.lanes // len(vals))
+    x = jnp.asarray(x.reshape(16, r, 128))
+
+    out = {}
+    for impl in ("u16", "f15"):
+        run = _build_kernel(impl, args.chain, r)
+        res = run(x, steps=args.steps)
+        np.asarray(res[0, 0, 0])  # sync
+        times = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            res = run(x, steps=args.steps)
+            np.asarray(res[0, 0, 0])
+            times.append(time.perf_counter() - t0)
+        sec = sorted(times)[len(times) // 2]
+        muls = args.lanes * args.chain * args.steps
+        rate = muls / sec
+        out[impl] = {
+            "mont_mul_per_s": round(rate, 1),
+            "seconds": round(sec, 6),
+            "vs_u32_roofline_2100ops": round(
+                (VPU_U32_OPS_PER_S / 2100) / rate, 3),
+        }
+        print(f"{impl}: {rate/1e6:.1f}M mont-mul/s "
+              f"({out[impl]['vs_u32_roofline_2100ops']}x off the "
+              f"2100-u32-op roofline)", flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

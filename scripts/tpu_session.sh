@@ -24,6 +24,10 @@ run() {  # run <name> <timeout-s> <cmd...>
 # 1. Compiled (non-interpret) Pallas kernels vs jnp ops, on hardware.
 run kernel_check_tpu 900 python -m tpu_msm.cli.profiler --check-kernels
 
+# 1b. Kernel-level Montgomery-mul throughput (BASELINE acceptance metric),
+#     both limb cores.
+run montmul 1800 python benches/montmul_benchmark.py --lanes 65536 --chain 64
+
 # 2. Stage profile + roofline at the canonical log-20 workload.
 run stage_profile 1800 python - <<'EOF'
 import logging
