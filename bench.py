@@ -68,48 +68,57 @@ def main():
     from tpu_msm.ops import streaming
     from tpu_msm.utils.config import select_config
 
+    from tpu_msm.utils.config import MsmConfig
+
     n = 1 << args.log_size
-    cfg = select_config(min(n, 1 << args.stream_above))
     px, py, sl = _random_inputs(n)
-
-    if args.log_size > args.stream_above:
-        run = lambda: streaming.msm_streamed(px, py, sl, cfg,
-                                             chunk_log=args.stream_above)
-    else:
+    if args.log_size <= args.stream_above:
         dpx, dpy, dsl = jnp.asarray(px), jnp.asarray(py), jnp.asarray(sl)
-        run = lambda: msm_device(dpx, dpy, dsl, cfg)
 
-    # Compile (excluded from timing). NOTE: on the remote-tunneled TPU
-    # platform block_until_ready returns at enqueue time, so every timed
-    # iteration ends with a device->host fetch of the (tiny) result — the
-    # transfer cannot complete before the compute does.
-    try:
-        res = run()
-        np.asarray(res.x)
-    except Exception as e:  # insurance: never miss the bench on a tuned-
-        # config compile failure — retry once with the conservative default
-        # knobs (NOT the failed config's: an OOMing scan_lanes/fanout must
-        # not be copied into the retry).
-        print(f"bench: config {cfg} failed ({type(e).__name__}); "
-              "falling back to the baseline config", file=sys.stderr)
-        from tpu_msm.utils.config import MsmConfig
-
-        cfg = MsmConfig(window_bits=16, scan_lanes=4096, reduce_fanout=2048)
+    def runner(cfg):
         if args.log_size > args.stream_above:
-            run = lambda: streaming.msm_streamed(px, py, sl, cfg,
-                                                 chunk_log=args.stream_above)
-        else:
-            run = lambda: msm_device(dpx, dpy, dsl, cfg)
-        res = run()
-        np.asarray(res.x)
+            return lambda: streaming.msm_streamed(px, py, sl, cfg,
+                                                  chunk_log=args.stream_above)
+        return lambda: msm_device(dpx, dpy, dsl, cfg)
 
-    times = []
-    for _ in range(args.iters):
-        t0 = time.perf_counter()
-        res = run()
-        np.asarray(res.x)
-        times.append(time.perf_counter() - t0)
-    med = sorted(times)[len(times) // 2]
+    def measure(cfg):
+        """Median seconds, or None if the config fails to compile/run.
+        NOTE: on the remote-tunneled TPU platform block_until_ready returns
+        at enqueue time, so every timed iteration ends with a device->host
+        fetch of the (tiny) result — the transfer cannot complete before
+        the compute does. Compile is excluded from timing."""
+        run = runner(cfg)
+        try:
+            res = run()
+            np.asarray(res.x)
+        except Exception as e:
+            print(f"bench: config {cfg} failed ({type(e).__name__})",
+                  file=sys.stderr)
+            return None, None
+        times = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            res = run()
+            np.asarray(res.x)
+            times.append(time.perf_counter() - t0)
+        return sorted(times)[len(times) // 2], res
+
+    # Measure the selected config AND the conservative baseline, report the
+    # best (the adaptive-dispatcher philosophy applied to the bench itself;
+    # also insurance against a tuned config regressing on this hardware).
+    candidates = [select_config(min(n, 1 << args.stream_above)),
+                  MsmConfig(window_bits=16, scan_lanes=4096,
+                            reduce_fanout=2048)]
+    med = res = best_cfg = None
+    for cfg in candidates:
+        t, r = measure(cfg)
+        if t is not None:
+            print(f"bench: {n / t:.0f} pts/s with {cfg}", file=sys.stderr)
+        if t is not None and (med is None or t < med):
+            med, res, best_cfg = t, r, cfg
+        if cfg == candidates[0] and med is not None and args.log_size < 18:
+            break  # small sizes: one config is representative enough
+    assert med is not None, "every bench config failed"
     pts_per_s = n / med
 
     if args.check:
