@@ -80,7 +80,7 @@ def main():
 
     from tpu_msm.models import bn254
     from tpu_msm.utils import interop
-    from tpu_msm.utils.profiling import VPU_U32_OPS_PER_S
+    from tpu_msm.utils.profiling import MONT_MUL_U32_OPS, VPU_U32_OPS_PER_S
 
     r = args.lanes // 128
     rng = np.random.RandomState(11)
@@ -103,15 +103,16 @@ def main():
         sec = sorted(times)[len(times) // 2]
         muls = args.lanes * args.chain * args.steps
         rate = muls / sec
+        peak = VPU_U32_OPS_PER_S / MONT_MUL_U32_OPS[impl]
         out[impl] = {
             "mont_mul_per_s": round(rate, 1),
             "seconds": round(sec, 6),
-            "vs_u32_roofline_2100ops": round(
-                (VPU_U32_OPS_PER_S / 2100) / rate, 3),
+            "roofline_per_s": round(peak, 1),
+            "ratio_to_roofline": round(peak / rate, 3),
         }
         print(f"{impl}: {rate/1e6:.1f}M mont-mul/s "
-              f"({out[impl]['vs_u32_roofline_2100ops']}x off the "
-              f"2100-u32-op roofline)", flush=True)
+              f"({out[impl]['ratio_to_roofline']}x off the "
+              f"{MONT_MUL_U32_OPS[impl]}-u32-op roofline)", flush=True)
     print(json.dumps(out))
 
 

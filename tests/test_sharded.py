@@ -41,7 +41,9 @@ def _inputs(rng, n):
 @pytest.mark.parametrize("ndev", [2, pytest.param(8, marks=pytest.mark.slow)])
 def test_sharded_matches_single_device(rng, ndev):
     mesh = sharded.default_mesh(_cpu_devices(ndev))
-    cfg = MsmConfig(window_bits=8, scan_lanes=8)
+    # Signed digits: the production large-n default must hold its
+    # bit-exactness guarantee on the mesh too.
+    cfg = MsmConfig(window_bits=8, scan_lanes=8, signed_digits=(ndev == 2))
     pts, scalars, px, py, sl = _inputs(rng, 8 * ndev)
 
     with jax.default_device(jax.devices("cpu")[0]):

@@ -109,10 +109,11 @@ def profile_stages(log_n: int, cfg=None, seed: int = 1):
 
 # v5e VPU: 8 sublanes x 128 lanes x ~940 MHz; one u32 op per lane per cycle.
 VPU_U32_OPS_PER_S = 8 * 128 * 940e6
-# One 256-bit Montgomery multiply in the row representation: 648 u32
-# multiplies (full product 256 + REDC m 136 + m*P 256) plus ~1.4k
-# add/shift/mask ops (accumulation + three carry ripples).
-MONT_MUL_U32_OPS = 2100
+# One 256-bit Montgomery multiply, u16 rows (pallas_curve): 648 u32
+# multiplies (full product 256 + REDC m 136 + m*P 256) at 5 ops each
+# (mul/mask/shift/2 adds) plus three carry ripples ≈ 3.6k u32 ops; the
+# original 2100 estimate undercounted the per-product accumulation.
+MONT_MUL_U32_OPS = {"u16": 3600, "f15": 2450}
 # RCB mixed addition: 11 Montgomery muls + 2 mul-by-9 chains + ~12 mod-adds.
 MADD_MONT_MULS = 11
 
@@ -134,8 +135,11 @@ def roofline(log_n: int = 20, cfg=None):
     ec_adds = w * (n + m)
     mont_muls = ec_adds * MADD_MONT_MULS
     rate = mont_muls / stats["end_to_end"]
-    peak = VPU_U32_OPS_PER_S / MONT_MUL_U32_OPS
-    log.info("mont-mul rate: %.1f M/s; VPU roofline %.1f M/s; ratio %.2fx",
-             rate / 1e6, peak / 1e6, peak / rate)
+    ops = MONT_MUL_U32_OPS.get(getattr(cfg, "field_impl", "u16"),
+                               MONT_MUL_U32_OPS["u16"])
+    peak = VPU_U32_OPS_PER_S / ops
+    log.info("mont-mul rate: %.1f M/s; VPU roofline %.1f M/s (%s core); "
+             "ratio %.2fx", rate / 1e6, peak / 1e6,
+             getattr(cfg, "field_impl", "u16"), peak / rate)
     return {"mont_mul_per_s": rate, "roofline_per_s": peak,
             "ratio_to_roofline": peak / rate, **stats}
