@@ -28,6 +28,10 @@ run kernel_check_tpu 900 python -m tpu_msm.cli.profiler --check-kernels
 #     both limb cores.
 run montmul 1800 python benches/montmul_benchmark.py --lanes 65536 --chain 64
 
+# 1c. e2e correctness of the production config (signed + f15 + padded
+#     queries engage at n >= 2^17) vs the native CPU engine.
+run check_log18 1800 python -m tpu_msm.cli.profiler 18 1 check 1
+
 # 2. Stage profile + roofline at the canonical log-20 workload.
 run stage_profile 1800 python - <<'EOF'
 import logging

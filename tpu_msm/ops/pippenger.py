@@ -309,6 +309,18 @@ def _msm_window(digits_negm, px, py, ppx, ppy, n: int, cfg: MsmConfig) -> ProjPo
     cum = jnp.cumsum(counts)
     queries = jnp.concatenate([cum[:m], jnp.full((1,), n, cum.dtype)])  # s_1..s_M, n
 
+    # Pad the query batch up to a Pallas-friendly width (multiple of 1024)
+    # so the wide ec_add below runs the fused kernel, not the spill-heavy
+    # jnp path — m+1 = 2^(c-1)+1 in signed mode is 1 over the boundary.
+    # Padding queries repeat position n and are sliced off after the add.
+    nq = m + 1
+    if _use_pallas(backend, ((nq + _PALLAS_MIN_WIDTH - 1)
+                             // _PALLAS_MIN_WIDTH) * _PALLAS_MIN_WIDTH):
+        q_pad = -(-nq // _PALLAS_MIN_WIDTH) * _PALLAS_MIN_WIDTH - nq
+        if q_pad:
+            queries = jnp.concatenate(
+                [queries, jnp.full((q_pad,), n, queries.dtype)])
+
     is_zero = queries == 0
     pos = jnp.maximum(queries, 1) - 1
     lq = (pos // steps).astype(jnp.int32)
@@ -323,10 +335,11 @@ def _msm_window(digits_negm, px, py, ppx, ppy, n: int, cfg: MsmConfig) -> ProjPo
     else:
         local = ProjPoint(*(a[:, kq, lq] for a in ys))  # (16, M+1)
         lane_carry = ProjPoint(*(a[:, lq] for a in carry))
-    xvals = ec_add(lane_carry, local, backend)
-    xvals = curve.select_point(is_zero, curve.proj_infinity((m + 1,)), xvals)
+    xvals = ec_add(lane_carry, local, backend, cfg.field_impl)
+    xvals = curve.select_point(is_zero,
+                               curve.proj_infinity((queries.shape[0],)), xvals)
 
-    x_n = ProjPoint(*(a[:, m:] for a in xvals))          # X(n), batch (1,)
+    x_n = ProjPoint(*(a[:, m:m + 1] for a in xvals))     # X(n), batch (1,)
     x_starts = ProjPoint(*(a[:, :m] for a in xvals))     # X(s_b), b = 1..M
     sum_starts = ec_reduce(x_starts, cfg.reduce_fanout, backend,
                            cfg.field_impl)
