@@ -61,6 +61,27 @@ def main():
                     help="verify result vs the Python oracle (slow; small sizes)")
     args = ap.parse_args()
 
+    # Preflight: when a TPU tunnel is configured, probe it in a subprocess
+    # with a hard timeout — a dead tunnel otherwise hangs backend init for
+    # minutes with no diagnostic (observed: axon relay outages).
+    import os
+    import subprocess
+
+    if os.environ.get("PALLAS_AXON_POOL_IPS"):
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d = jax.devices(); assert d[0].platform != 'cpu'"],
+                capture_output=True, timeout=180)
+            ok = probe.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if not ok:
+            print("bench: TPU tunnel is not responding (probe failed); "
+                  "refusing to hang — fix the tunnel and rerun",
+                  file=sys.stderr)
+            return 3
+
     import jax
     import jax.numpy as jnp
 
@@ -143,4 +164,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
