@@ -26,7 +26,7 @@ run kernel_check_tpu 900 python -m tpu_msm.cli.profiler --check-kernels
 
 # 1b. Kernel-level Montgomery-mul throughput (BASELINE acceptance metric),
 #     both limb cores.
-run montmul 1800 python benches/montmul_benchmark.py --lanes 65536 --chain 64
+run montmul 1800 python benches/montmul_benchmark.py --lanes 65536 --chain 32
 
 # 1c. e2e correctness of the production config (signed + f15 + padded
 #     queries engage at n >= 2^17) vs the native CPU engine.
@@ -44,7 +44,27 @@ print(json.dumps({k: (round(v, 6) if isinstance(v, float) else v)
 EOF
 
 # 3. Measured autotune sweep (writes tpu_msm/utils/tuned_configs.json).
-run autotune 7200 python -m tpu_msm.utils.autotune --log-sizes 16 18 20 --repeats 3
+#    Focused space: the full DEFAULT_SPACE grid is 72 combos/size (~hours of
+#    compiles on one chip); this covers the decisions that matter at the
+#    headline size — limb core, signed digits, lanes, fanout — in ~12 combos.
+run autotune 7200 python - <<'EOF'
+from tpu_msm.utils import autotune
+autotune.sweep([20], space={
+    "window_bits": [16],
+    "scan_lanes": [4096, 8192],
+    "reduce_fanout": [2048, 4096],
+    "signed_digits": [True],
+    "field_impl": ["u16", "f15"],
+}, repeats=3)
+autotune.sweep([18], space={
+    "window_bits": [8, 16],
+    "scan_lanes": [4096],
+    "reduce_fanout": [2048],
+    "signed_digits": [True],
+    "field_impl": ["f15"],
+}, repeats=3)
+print("sweep done")
+EOF
 
 # 4. Headline benches (after tuning).
 for LOG in 20 22 24; do
