@@ -29,7 +29,6 @@ NOMINAL_BASELINE_PTS_PER_S = 1.0e6
 def _random_inputs(n: int, seed: int = 1):
     """Random valid G1 points (distinct small multiples of G, tiled) and
     uniform 254-bit scalars, as (16, n) limb arrays."""
-    from tpu_msm.models import bn254
     from tpu_msm.utils import interop, oracle
 
     rng = np.random.RandomState(seed)

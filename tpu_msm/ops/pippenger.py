@@ -36,14 +36,13 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
 
 from tpu_msm.models import bn254
 from tpu_msm.ops import curve, field, u256
-from tpu_msm.ops.curve import AffinePoint, JacPoint, ProjPoint
+from tpu_msm.ops.curve import AffinePoint, ProjPoint
 from tpu_msm.utils.config import MsmConfig, resolve_backend, select_config
 
 
