@@ -23,7 +23,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 from tpu_msm.ops import curve, pippenger
 from tpu_msm.ops.curve import AffinePoint, ProjPoint
@@ -95,13 +94,16 @@ def make_sharded_msm(mesh: Mesh, cfg: MsmConfig, axis: str = "data",
     layout transfer on dispatch. `collective` picks the cross-chip EC
     reduction (see _local_step).
     """
-    fn = shard_map(
+    # check_vma=False (the pre-0.8 check_rep): the hand-built EC collectives
+    # (ppermute tree / gathered fixed-tree fold) produce replicated outputs
+    # by construction, which the varying-manual-axes checker cannot see.
+    fn = jax.shard_map(
         functools.partial(_local_step, cfg=cfg, axis=axis,
                           axis_size=mesh.shape[axis], collective=collective),
         mesh=mesh,
         in_specs=(P(None, axis), P(None, axis), P(None, axis)),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)
 
