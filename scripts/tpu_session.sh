@@ -63,6 +63,16 @@ autotune.sweep([18], space={
     "signed_digits": [True],
     "field_impl": ["f15"],
 }, repeats=3)
+# Segment-starts strategy (scatter-histogram vs binary search vs extra sort)
+# at the headline size, on top of whatever the first sweep picked.
+best = autotune.lookup(1 << 20) or {"window_bits": 16, "scan_lanes": 8192,
+                                    "reduce_fanout": 4096,
+                                    "signed_digits": True,
+                                    "field_impl": "f15"}
+autotune.sweep([20], space={
+    **{k: [v] for k, v in best.items() if k != "segment_starts"},
+    "segment_starts": ["bincount", "ss_scan", "ss_sort"],
+}, repeats=3)
 print("sweep done")
 EOF
 

@@ -301,12 +301,24 @@ def _msm_window(digits_negm, px, py, ppx, ppy, n: int, cfg: MsmConfig) -> ProjPo
         curve.proj_infinity((lanes,)),
     )  # exclusive inter-lane carries
 
-    # Bucket segment starts via histogram + exclusive cumsum (the reference
-    # binary-searches per threadgroup, msm.h.metal:119-131). Digit value m+1
-    # is the padding sentinel and lands in the dropped last bin.
-    counts = jnp.bincount(sorted_digits, length=m + 2)
-    cum = jnp.cumsum(counts)
-    queries = jnp.concatenate([cum[:m], jnp.full((1,), n, cum.dtype)])  # s_1..s_M, n
+    # Bucket segment starts: s_b = #\{i : sorted_digits[i] < b\} for b = 1..M
+    # (the reference binary-searches per threadgroup, msm.h.metal:119-131).
+    # Digit value m+1 is the padding sentinel; it sorts last and is counted
+    # by no query. Three exact strategies, selected by cfg (autotuned):
+    # histogram+cumsum (scatter-add), or vectorized binary search over the
+    # already-sorted digits (searchsorted; 'scan' = log2(n) gather rounds,
+    # 'sort' = one extra keys-only sort).
+    if cfg.segment_starts == "bincount":
+        counts = jnp.bincount(sorted_digits, length=m + 2)
+        cum = jnp.cumsum(counts)
+        starts = cum[:m].astype(jnp.int32)
+    else:
+        method = "sort" if cfg.segment_starts == "ss_sort" else "scan"
+        bvals = jnp.arange(1, m + 1, dtype=sorted_digits.dtype)
+        starts = jnp.searchsorted(sorted_digits, bvals, side="left",
+                                  method=method).astype(jnp.int32)
+    queries = jnp.concatenate(
+        [starts, jnp.full((1,), n, starts.dtype)])  # s_1..s_M, n
 
     # Pad the query batch up to a Pallas-friendly width (multiple of 1024)
     # so the wide ec_add below runs the fused kernel, not the spill-heavy

@@ -39,7 +39,7 @@ DEFAULT_SPACE = {
 }
 
 _KNOBS = ("window_bits", "scan_lanes", "reduce_fanout", "signed_digits",
-          "field_impl")
+          "field_impl", "segment_starts")
 
 
 def _platform() -> str:
@@ -120,15 +120,11 @@ def sweep(log_sizes: List[int], space: Dict[str, list] = None,
     for log_size in log_sizes:
         n = 1 << log_size
         results = []
-        for wb, lanes, fanout, signed, fimpl in itertools.product(
-                space["window_bits"], space["scan_lanes"],
-                space["reduce_fanout"], space.get("signed_digits", [False]),
-                space.get("field_impl", ["u16"])):
-            if lanes * 2 > n:
+        keys = list(space.keys())
+        for combo in itertools.product(*(space[k] for k in keys)):
+            kw = dict(zip(keys, combo))
+            if kw.get("scan_lanes", 0) * 2 > n:
                 continue  # thinner than one point per lane
-            kw = {"window_bits": wb, "scan_lanes": lanes,
-                  "reduce_fanout": fanout, "signed_digits": signed,
-                  "field_impl": fimpl}
             try:
                 t = measure(log_size, kw, repeats)
             except Exception as e:  # OOM / unsupported combo: record + skip
@@ -145,7 +141,7 @@ def sweep(log_sizes: List[int], space: Dict[str, list] = None,
             continue
         results.sort(key=lambda r: r["seconds"])
         rows[str(log_size)] = {
-            "best": {k: results[0][k] for k in _KNOBS},
+            "best": {k: results[0][k] for k in _KNOBS if k in results[0]},
             "measurements": results,
         }
     with open(TABLE_PATH, "w") as f:

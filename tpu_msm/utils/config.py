@@ -54,6 +54,15 @@ class MsmConfig:
     # windows explicitly).
     signed_digits: bool = False
 
+    # How bucket segment starts s_b are located in the sorted digit array:
+    #   "bincount"  — histogram (scatter-add) + exclusive cumsum
+    #   "ss_scan"   — vectorized binary search (jnp.searchsorted, 'scan')
+    #   "ss_sort"   — searchsorted via one extra keys-only sort ('sort')
+    # All three are exact (the reference binary-searches per threadgroup,
+    # msm.h.metal:119-131); which is fastest on TPU depends on how XLA
+    # lowers scatter vs gather-loop vs sort — an autotune decision.
+    segment_starts: str = "bincount"
+
     # Limb representation inside the fused scan kernel: "u16" (16x16-bit
     # rows) or "f15" (17x15-bit rows — grouped raw product accumulation,
     # ~30% fewer VPU ops per mixed add; see ops/f15.py). Wire format at the
@@ -99,7 +108,9 @@ def select_config(n: int) -> MsmConfig:
         return MsmConfig(window_bits=tuned["window_bits"], scan_lanes=lanes,
                          reduce_fanout=tuned["reduce_fanout"],
                          signed_digits=tuned.get("signed_digits", False),
-                         field_impl=tuned.get("field_impl", "u16"))
+                         field_impl=tuned.get("field_impl", "u16"),
+                         segment_starts=tuned.get("segment_starts",
+                                                  "bincount"))
     if n < (1 << 17):
         c = 8
         signed = False
