@@ -87,3 +87,11 @@ run profiler_20x5 3600 python -m tpu_msm.cli.profiler 20 5 tpu 2
 run profiler_22_stream 3600 python -m tpu_msm.cli.profiler 22 1 stream 2
 
 echo "=== done; review $OUT/, tuned_configs.json, then commit ==="
+
+# Leave the measurements committed even if nobody is watching (the session
+# may be fired by the tunnel watcher): artifacts + the tuned table only.
+if [ "${TPU_SESSION_AUTOCOMMIT:-1}" = 1 ]; then
+  git add "$OUT" tpu_msm/utils/tuned_configs.json 2>/dev/null
+  git commit -q -m "TPU measurement session: kernel check, roofline, autotune sweep, benches (artifacts/)" \
+    && echo "committed" || echo "nothing to commit"
+fi
