@@ -74,14 +74,14 @@ def profile_stages(log_n: int, cfg=None, seed: int = 1):
     from tpu_msm.models import bn254
     from tpu_msm.ops import pippenger
     from tpu_msm.utils import preprocess
-    from tpu_msm.utils.config import select_config, resolve_backend, MsmConfig
+    from tpu_msm.utils.config import select_config, resolve_backend
+
+    import dataclasses
 
     n = 1 << log_n
     if cfg is None:
         cfg = select_config(n)
-    cfg = MsmConfig(window_bits=cfg.window_bits, scan_lanes=cfg.scan_lanes,
-                    reduce_fanout=cfg.reduce_fanout,
-                    backend=resolve_backend(cfg.backend))
+    cfg = dataclasses.replace(cfg, backend=resolve_backend(cfg.backend))
     inst = preprocess.get_or_create_msm_instances(log_n, 1, seed=seed)[0]
     px, py, sl = (jnp.asarray(inst.px), jnp.asarray(inst.py),
                   jnp.asarray(inst.scalars))
@@ -116,13 +116,51 @@ VPU_U32_OPS_PER_S = 8 * 128 * 940e6
 MONT_MUL_U32_OPS = {"u16": 3600, "f15": 2450}
 # RCB mixed addition: 11 Montgomery muls + 2 mul-by-9 chains + ~12 mod-adds.
 MADD_MONT_MULS = 11
+# RCB complete projective-projective addition (a=0, Alg 7): 12 muls.
+ADD_MONT_MULS = 12
+
+
+def pipeline_mont_muls(n: int, cfg) -> int:
+    """Exact Montgomery-multiply count of one MSM at size n under cfg,
+    mirroring the pipeline structure op for op (pippenger._msm_window /
+    window_sums / horner_fold). Round-1's W*(n+M)*11 model undercounted the
+    full-add stages (lane scan, query adds, reduction trees) by ~20%."""
+    def ceil_log2(x):
+        return max(0, (x - 1).bit_length())
+
+    w = cfg.num_windows()
+    m = cfg.buckets_per_window()
+    c = cfg.window_bits
+    lanes = min(cfg.scan_lanes, 1 << ceil_log2(max(n, 1)))
+    steps = -(-n // lanes)
+    n_pad = lanes * steps
+    # Query batch, padded to the Pallas width when wide enough (see
+    # _msm_window): m starts + the X(n) query.
+    nq = m + 1
+    if nq >= 1024:
+        nq = -(-nq // 1024) * 1024
+    per_window = n_pad * MADD_MONT_MULS            # scan stage (mixed adds)
+    per_window += ceil_log2(lanes) * lanes * ADD_MONT_MULS  # lane carry scan
+    per_window += nq * ADD_MONT_MULS               # carry + local query adds
+    # ec_reduce over the m bucket-start prefix sums:
+    b = 1 << ceil_log2(max(m, 1))
+    fold = b if b > cfg.reduce_fanout else 0
+    tree_w = min(b, cfg.reduce_fanout)
+    per_window += (fold + ceil_log2(tree_w) * tree_w) * ADD_MONT_MULS
+    # M*X(n): c-1 doublings (signed) or c-1 double+add rounds (unsigned),
+    # then the final window combine add.
+    per_window += ((c - 1) if cfg.signed_digits else 2 * (c - 1) + 1) * ADD_MONT_MULS
+    per_window += ADD_MONT_MULS
+    # Horner fold across windows: c doublings + 1 add per join (batch 1).
+    horner = (w - 1) * (c + 1) * ADD_MONT_MULS
+    return w * per_window + horner
 
 
 def roofline(log_n: int = 20, cfg=None):
     """Measured end-to-end Montgomery-mul rate vs the VPU roofline.
 
-    Counts ~12 Montgomery multiplies per mixed add and W*(n + M) adds per
-    MSM; BASELINE.md acceptance is >= 1/1.5 of roofline for the mul kernel.
+    Uses the exact pipeline op count (pipeline_mont_muls); BASELINE.md
+    acceptance is >= 1/1.5 of roofline for the mul kernel.
     """
     from tpu_msm.utils.config import select_config
 
@@ -130,10 +168,7 @@ def roofline(log_n: int = 20, cfg=None):
     if cfg is None:
         cfg = select_config(n)
     stats = profile_stages(log_n, cfg)
-    w = cfg.num_windows()
-    m = cfg.buckets_per_window()
-    ec_adds = w * (n + m)
-    mont_muls = ec_adds * MADD_MONT_MULS
+    mont_muls = pipeline_mont_muls(n, cfg)
     rate = mont_muls / stats["end_to_end"]
     ops = MONT_MUL_U32_OPS.get(getattr(cfg, "field_impl", "u16"),
                                MONT_MUL_U32_OPS["u16"])
