@@ -73,6 +73,12 @@ autotune.sweep([20], space={
     **{k: [v] for k, v in best.items() if k != "segment_starts"},
     "segment_starts": ["bincount", "ss_scan", "ss_sort"],
 }, repeats=3)
+# Cross-window overlap (lax.map batch_size), again on top of the best.
+best = autotune.lookup(1 << 20) or best
+autotune.sweep([20], space={
+    **{k: [v] for k, v in best.items() if k != "window_batch"},
+    "window_batch": [1, 2, 4],
+}, repeats=3)
 print("sweep done")
 EOF
 

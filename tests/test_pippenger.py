@@ -118,6 +118,24 @@ def test_segment_starts_strategies_match(rng, impl):
         assert (np.asarray(a) == np.asarray(b)).all()
 
 
+def test_window_batch_matches_sequential(rng):
+    """lax.map batch_size (vmapped window groups) must be bit-identical to
+    the sequential window loop."""
+    n, c, lanes = 29, 4, 8
+    scalars = _rand_scalars(rng, n)
+    points = _gen_points([int(rng.randint(1, 1 << 20)) for _ in range(n)])
+    x, y = interop.affine_points_to_limbs(points)
+    slimbs = jnp.asarray(interop.ints_to_limbs(scalars))
+    pts = curve.AffinePoint(jnp.asarray(x), jnp.asarray(y))
+    f = jax.jit(pippenger.msm_projective, static_argnums=2)
+    base = f(pts, slimbs, MsmConfig(window_bits=c, scan_lanes=lanes,
+                                    signed_digits=True))
+    alt = f(pts, slimbs, MsmConfig(window_bits=c, scan_lanes=lanes,
+                                   signed_digits=True, window_batch=2))
+    for a, b in zip(base, alt):
+        assert (np.asarray(a) == np.asarray(b)).all()
+
+
 def test_ec_reduce(rng):
     ks = [int(rng.randint(1, 1 << 20)) for _ in range(23)]
     pts = _gen_points(ks)

@@ -416,9 +416,14 @@ def window_sums(points: AffinePoint, scalar_limbs, cfg: MsmConfig) -> ProjPoint:
 
     window_fn = functools.partial(_msm_window, px=px, py=py, ppx=ppx, ppy=ppy,
                                   n=n, cfg=cfg)
+    # batch_size > 1 vmaps the window body over groups of windows (cross-
+    # window overlap at the cost of k-times the stage working set); lax.map
+    # requires the batch to divide the window count, so fall back when not.
+    bs = cfg.window_batch if w % max(cfg.window_batch, 1) == 0 else 1
+    kwargs = {"batch_size": bs} if bs > 1 else {}
     if negm is None:
-        return jax.lax.map(lambda d: window_fn((d, None)), digits)
-    return jax.lax.map(window_fn, (digits, negm))
+        return jax.lax.map(lambda d: window_fn((d, None)), digits, **kwargs)
+    return jax.lax.map(window_fn, (digits, negm), **kwargs)
 
 
 def pack_u16_rows(a):

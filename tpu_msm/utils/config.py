@@ -54,6 +54,12 @@ class MsmConfig:
     # windows explicitly).
     signed_digits: bool = False
 
+    # Windows processed together (jax.lax.map batch_size — vmaps the window
+    # body over k windows at a time). 1 = fully sequential (minimum memory);
+    # 2/4 trade ~270 MB HBM per extra window at 2^20 for cross-window
+    # instruction-level overlap between the sort/scan/reduce stages.
+    window_batch: int = 1
+
     # How bucket segment starts s_b are located in the sorted digit array:
     #   "bincount"  — histogram (scatter-add) + exclusive cumsum
     #   "ss_scan"   — vectorized binary search (jnp.searchsorted, 'scan')
@@ -110,7 +116,8 @@ def select_config(n: int) -> MsmConfig:
                          signed_digits=tuned.get("signed_digits", False),
                          field_impl=tuned.get("field_impl", "u16"),
                          segment_starts=tuned.get("segment_starts",
-                                                  "bincount"))
+                                                  "bincount"),
+                         window_batch=tuned.get("window_batch", 1))
     if n < (1 << 17):
         c = 8
         signed = False
