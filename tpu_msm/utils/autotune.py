@@ -139,10 +139,19 @@ def sweep(log_sizes: List[int], space: Dict[str, list] = None,
                       f"({n/t/1e6:.3f} Mpts/s)", flush=True)
         if not results:
             continue
-        results.sort(key=lambda r: r["seconds"])
+        # Merge with prior measurements at this size so successive focused
+        # sweeps (e.g. base grid, then segment_starts, then window_batch)
+        # compose: best = argmin over the union, keyed by knob values.
+        prior = rows.get(str(log_size), {}).get("measurements", [])
+        seen = {tuple(sorted((k, v) for k, v in r.items()
+                             if k in _KNOBS)): r for r in prior}
+        for r in results:
+            seen[tuple(sorted((k, v) for k, v in r.items()
+                              if k in _KNOBS))] = r
+        merged = sorted(seen.values(), key=lambda r: r["seconds"])
         rows[str(log_size)] = {
-            "best": {k: results[0][k] for k in _KNOBS if k in results[0]},
-            "measurements": results,
+            "best": {k: merged[0][k] for k in _KNOBS if k in merged[0]},
+            "measurements": merged,
         }
     with open(TABLE_PATH, "w") as f:
         json.dump(table, f, indent=1, sort_keys=True)
