@@ -83,7 +83,7 @@ print("sweep done")
 EOF
 
 # 4. Headline benches (after tuning).
-for LOG in 20 22 24; do
+for LOG in 16 20 22 24; do
   run "bench_log${LOG}" 3600 python bench.py --log-size "$LOG"
 done
 
