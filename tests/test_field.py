@@ -73,6 +73,20 @@ def test_inv(elems):
         assert got[i] == (pow(xs[i], P - 2, P))
 
 
+def test_batch_inv(elems):
+    """Montgomery-trick batch inverse == Fermat inverse, zeros -> zero."""
+    xs, _, am, _ = elems
+    batch = jnp.concatenate([am[:, :7], field.zero((2,)), am[:, 7:9]], axis=1)
+    vals = xs[:7] + [0, 0] + xs[7:9]
+    got = interop.mont_limbs_to_fp_ints(np.asarray(field.batch_inv_mont(batch)))
+    for i, x in enumerate(vals):
+        assert got[i] == (pow(x, P - 2, P) if x else 0), f"elem {i}"
+    # width-1 degenerate case
+    one = interop.mont_limbs_to_fp_ints(
+        np.asarray(field.batch_inv_mont(am[:, :1])))
+    assert one[0] == pow(xs[0], P - 2, P)
+
+
 def test_sqrt(elems):
     xs, _, am, _ = elems
     sq = field.mont_sqr(am[:, :6])

@@ -239,13 +239,23 @@ def mul_all_ones(p: JacPoint, c: int) -> JacPoint:
 # Conversions and predicates (test/support surface).
 # ---------------------------------------------------------------------------
 
+def _inv_for_batch(z):
+    """Elementwise Fermat inverse for narrow batches, Montgomery-trick batch
+    inverse (~3 muls/element instead of ~380) when the batch is wide."""
+    import math
+
+    if math.prod(z.shape[1:]) > 16:
+        return field.batch_inv_mont(z.reshape(z.shape[0], -1)).reshape(z.shape)
+    return field.inv_mont(z)
+
+
 def jac_to_affine(p: JacPoint) -> AffinePoint:
     """Normalize to affine (Montgomery coords); infinity -> (0, 0).
 
-    Uses a batched field inversion — not on the hot path (final result and
+    Batched field inversion — not on the hot path (final result and
     tests only).
     """
-    zinv = field.inv_mont(p.z)
+    zinv = _inv_for_batch(p.z)
     zinv2 = mont_sqr(zinv)
     x = mont_mul(p.x, zinv2)
     y = mont_mul(p.y, mont_mul(zinv, zinv2))
@@ -384,7 +394,7 @@ def proj_double(p: ProjPoint) -> ProjPoint:
 
 def proj_to_affine(p: ProjPoint) -> AffinePoint:
     """Normalize to affine Montgomery coords; infinity -> (0, 0)."""
-    zinv = field.inv_mont(p.z)
+    zinv = _inv_for_batch(p.z)
     x = mont_mul(p.x, zinv)
     y = mont_mul(p.y, zinv)
     inf = proj_is_infinity(p)

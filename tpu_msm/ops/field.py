@@ -160,6 +160,32 @@ def inv_mont(a):
     return pow_fixed(a, bn254.P - 2)
 
 
+def batch_inv_mont(a):
+    """Batched modular inverse (Montgomery trick): (16, N) -> (16, N) with
+    ~3 Montgomery muls per element plus ONE Fermat inversion, vs ~380 muls
+    per element for elementwise inv_mont. Zeros invert to zero.
+
+    prefix/suffix products run as log-depth jax.lax.associative_scan over
+    mont_mul (Montgomery-form values compose exactly: mont(a,b) = (ab)·R).
+    The reference has no batch inverse (its inverse is the per-thread
+    addchain, fp_bn254.h.metal:116-208); this is the vectorized equivalent
+    that makes on-device batch affine normalization practical.
+    """
+    import jax
+
+    zero_mask = u256.is_zero(a)
+    safe = u256.select(zero_mask, one_mont(a.shape[1:]), a)
+    prefix = jax.lax.associative_scan(mont_mul, safe, axis=1)
+    suffix = jax.lax.associative_scan(mont_mul, safe, axis=1, reverse=True)
+    total_inv = inv_mont(prefix[:, -1])
+    ones = one_mont((1, *a.shape[2:]))
+    pre = jnp.concatenate([ones, prefix[:, :-1]], axis=1)   # prod_{j<i}
+    suf = jnp.concatenate([suffix[:, 1:], ones], axis=1)    # prod_{j>i}
+    t = jnp.broadcast_to(jnp.expand_dims(total_inv, 1), a.shape)
+    inv = mont_mul(mont_mul(pre, suf), t)
+    return u256.select(zero_mask, zero(a.shape[1:]), inv)
+
+
 def sqrt_mont(a):
     """Candidate square root a^((P+1)/4) (P = 3 mod 4). Caller must verify
     sqrt^2 == a; used by the on-device random-point sampler."""
