@@ -25,6 +25,12 @@ import os
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     _flags += " --xla_force_host_platform_device_count=8"
+if "xla_cpu_max_isa" not in _flags:
+    # Cap XLA:CPU codegen at AVX512 so AOT cache entries are portable across
+    # the slightly-different host classes this repo runs on (uncapped codegen
+    # bakes in AMX/tuning features and a foreign entry can SIGSEGV at load —
+    # see __graft_entry__._host_cache_dir).
+    _flags += " --xla_cpu_max_isa=AVX512"
 os.environ["XLA_FLAGS"] = _flags.strip()
 
 import jax  # noqa: E402
