@@ -14,6 +14,14 @@ cd "$(dirname "$0")/.."
 OUT=${1:-artifacts}
 mkdir -p "$OUT"
 
+# Concurrent jax processes racing on the persistent compile cache have
+# produced SIGSEGV/SIGABRT in the cache (de)serializer (observed 2026-08-18).
+# If a test suite is mid-run, let it finish first (bounded wait).
+for _ in $(seq 180); do
+  pgrep -f "python -m pytest" > /dev/null || break
+  sleep 60
+done
+
 run() {  # run <name> <timeout-s> <cmd...>
   local name=$1 tmo=$2; shift 2
   echo "=== $name ($(date +%H:%M:%S)) ==="
