@@ -35,11 +35,13 @@ def _env(devices: int) -> dict:
     # EXECUTION of these EC graphs pathologically slow (the measured fact in
     # tests/conftest.py) — the subprocesses share the host-keyed persistent
     # cache instead.
-    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={devices}"
-    import __graft_entry__
-
-    env["JAX_COMPILATION_CACHE_DIR"] = __graft_entry__._host_cache_dir()
-    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1.0"
+    env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count={devices}"
+                        " --xla_cpu_max_isa=AVX512")
+    # NO persistent compile cache here: serializing multi-device shard_map
+    # executables SIGSEGVs in XLA:CPU's cache serializer (see
+    # tests/test_sharded.py::_no_persistent_cache).
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
+    env["JAX_ENABLE_COMPILATION_CACHE"] = "false"
     return env
 
 

@@ -22,6 +22,18 @@ from tpu_msm.utils.config import MsmConfig
 pytestmark = pytest.mark.device
 
 
+@pytest.fixture(autouse=True)
+def _no_persistent_cache():
+    """Serializing the larger multi-device shard_map executables for the
+    persistent compile cache SIGSEGVs/SIGABRTs in XLA:CPU's (de)serializer
+    (reproduced 3x on 2026-08-18, jax 0.8: put_executable_and_time /
+    get_executable_and_time). Compile these fresh; everything else keeps
+    the cache."""
+    jax.config.update("jax_enable_compilation_cache", False)
+    yield
+    jax.config.update("jax_enable_compilation_cache", True)
+
+
 def _cpu_devices(n):
     devs = jax.devices("cpu")
     if len(devs) < n:
