@@ -26,12 +26,24 @@ pytestmark = pytest.mark.device
 def _no_persistent_cache():
     """Serializing the larger multi-device shard_map executables for the
     persistent compile cache SIGSEGVs/SIGABRTs in XLA:CPU's (de)serializer
-    (reproduced 3x on 2026-08-18, jax 0.8: put_executable_and_time /
+    (reproduced 4x on 2026-08-18, jax 0.8: put_executable_and_time /
     get_executable_and_time). Compile these fresh; everything else keeps
-    the cache."""
+    the cache. NOTE: jax latches cache-enablement on first use
+    (compilation_cache._cache_checked), so the config toggle alone is a
+    no-op mid-process — reset_cache() clears the latch."""
+    from jax._src import compilation_cache as _cc
+
     jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        _cc.reset_cache()
+    except Exception:
+        pass  # private-API drift: config-only fallback
     yield
     jax.config.update("jax_enable_compilation_cache", True)
+    try:
+        _cc.reset_cache()
+    except Exception:
+        pass
 
 
 def _cpu_devices(n):
