@@ -59,9 +59,26 @@ def load_table() -> dict:
         return {}
     mtime = TABLE_PATH.stat().st_mtime_ns
     if _table_cache[0] != mtime:
-        with open(TABLE_PATH) as f:
-            _table_cache = (mtime, json.load(f))
+        try:
+            with open(TABLE_PATH) as f:
+                _table_cache = (mtime, json.load(f))
+        except (json.JSONDecodeError, OSError) as e:
+            # lookup() sits on the per-MSM dispatch path: a truncated or
+            # corrupt committed table must degrade to the heuristic, never
+            # crash msm()/msm_best().
+            print(f"autotune: ignoring unreadable {TABLE_PATH}: {e}",
+                  file=sys.stderr)
+            _table_cache = (mtime, {})
     return _table_cache[1]
+
+
+def _write_table(table: dict) -> None:
+    """Atomic write (tmp + os.replace): a SIGTERM mid-write must never leave
+    a truncated JSON for a later session to commit."""
+    tmp = TABLE_PATH.with_name(TABLE_PATH.name + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(table, f, indent=1, sort_keys=True)
+    os.replace(tmp, TABLE_PATH)
 
 
 def lookup(n: int, platform: Optional[str] = None) -> Optional[dict]:
@@ -110,16 +127,34 @@ def measure(log_size: int, cfg_kwargs: dict, repeats: int = 3) -> float:
     return times[len(times) // 2]
 
 
+def _merge_row(rows: dict, log_size: int, result: dict) -> None:
+    """Merge one measurement into rows[log_size], keyed by knob values, so
+    successive focused sweeps (base grid, then segment_starts, then
+    window_batch) compose: best = argmin over the union."""
+    prior = rows.get(str(log_size), {}).get("measurements", [])
+    seen = {tuple(sorted((k, v) for k, v in r.items()
+                         if k in _KNOBS)): r for r in prior}
+    seen[tuple(sorted((k, v) for k, v in result.items()
+                      if k in _KNOBS))] = result
+    merged = sorted(seen.values(), key=lambda r: r["seconds"])
+    rows[str(log_size)] = {
+        "best": {k: merged[0][k] for k in _KNOBS if k in merged[0]},
+        "measurements": merged,
+    }
+
+
 def sweep(log_sizes: List[int], space: Dict[str, list] = None,
           repeats: int = 3, verbose: bool = True) -> dict:
-    """Run the sweep, merge into the table, write it back, return it."""
+    """Run the sweep, merging into the table and checkpointing it to disk
+    after EVERY measured combo — a session timeout mid-sweep keeps all
+    measurements taken so far (round 2 lost a full 900 s sweep to a
+    write-only-at-the-end design)."""
     space = space or DEFAULT_SPACE
     platform = _platform()
     table = load_table()
     rows = table.setdefault(platform, {})
     for log_size in log_sizes:
         n = 1 << log_size
-        results = []
         keys = list(space.keys())
         for combo in itertools.product(*(space[k] for k in keys)):
             kw = dict(zip(keys, combo))
@@ -132,29 +167,12 @@ def sweep(log_sizes: List[int], space: Dict[str, list] = None,
                     print(f"  2^{log_size} {kw}: FAILED ({type(e).__name__})",
                           flush=True)
                 continue
-            results.append({**kw, "seconds": round(t, 6),
-                            "points_per_s": round(n / t, 1)})
+            _merge_row(rows, log_size, {**kw, "seconds": round(t, 6),
+                                        "points_per_s": round(n / t, 1)})
+            _write_table(table)
             if verbose:
                 print(f"  2^{log_size} {kw}: {t*1e3:.1f} ms "
                       f"({n/t/1e6:.3f} Mpts/s)", flush=True)
-        if not results:
-            continue
-        # Merge with prior measurements at this size so successive focused
-        # sweeps (e.g. base grid, then segment_starts, then window_batch)
-        # compose: best = argmin over the union, keyed by knob values.
-        prior = rows.get(str(log_size), {}).get("measurements", [])
-        seen = {tuple(sorted((k, v) for k, v in r.items()
-                             if k in _KNOBS)): r for r in prior}
-        for r in results:
-            seen[tuple(sorted((k, v) for k, v in r.items()
-                              if k in _KNOBS))] = r
-        merged = sorted(seen.values(), key=lambda r: r["seconds"])
-        rows[str(log_size)] = {
-            "best": {k: merged[0][k] for k in _KNOBS if k in merged[0]},
-            "measurements": merged,
-        }
-    with open(TABLE_PATH, "w") as f:
-        json.dump(table, f, indent=1, sort_keys=True)
     return table
 
 
