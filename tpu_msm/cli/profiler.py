@@ -44,7 +44,16 @@ def _run_tpu(inst, cfg):
     res = msm_device(
         jnp.asarray(inst.px), jnp.asarray(inst.py), jnp.asarray(inst.scalars), cfg
     )
-    jax.block_until_ready(res)
+    _sync(res)
+    return res
+
+
+def _sync(res):
+    """True device sync: on the tunneled TPU platform block_until_ready
+    returns at enqueue time (same caveat as bench.py), so timings must end
+    with a (tiny) device->host fetch that cannot complete before the
+    compute does."""
+    np.asarray(res.x.ravel()[0:1])
     return res
 
 
@@ -60,7 +69,7 @@ def _run_sharded(inst, cfg):
         jnp.asarray(inst.scalars),
         cfg=cfg,
     )
-    jax.block_until_ready(res)
+    _sync(res)
     return res
 
 
@@ -91,7 +100,7 @@ def _run_stream(inst, cfg, chunk_log: int = 20):
 
     res = streaming.msm_streamed(inst.px, inst.py, inst.scalars, cfg,
                                  chunk_log=chunk_log)
-    jax.block_until_ready(res)
+    _sync(res)
     return res
 
 
