@@ -31,27 +31,35 @@ def _build_kernel(impl: str, chain: int, r: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from tpu_msm.ops import f15
+    from tpu_msm.ops import f15, fmxu
     from tpu_msm.ops import pallas_curve as pc
 
     nrows = pc.NROWS
 
-    def kernel(x_ref, out_ref, acc):
+    def body(rows, xin, mats):
+        if impl in ("f15", "mxu"):
+            mul = (f15.mont_mul if impl == "f15"
+                   else functools.partial(fmxu.mont_mul, gpinv=mats[0],
+                                          gp=mats[1]))
+            rows15 = f15.from_u16_rows(rows)
+            x15 = f15.from_u16_rows(xin)
+            for _ in range(chain):
+                rows15 = mul(rows15, x15)
+            return f15.to_u16_rows(rows15)
+        for _ in range(chain):
+            rows = pc.mont_mul(rows, xin)
+        return rows
+
+    def kernel(*refs):
+        mats = [refs[i][...] for i in range(len(refs) - 3)]
+        x_ref, out_ref, acc = refs[-3], refs[-2], refs[-1]
+
         @pl.when(pl.program_id(0) == 0)
         def _():
             acc[...] = x_ref[...]
 
-        rows = [acc[i] for i in range(nrows)]
-        xin = [x_ref[i] for i in range(nrows)]
-        if impl == "f15":
-            rows15 = f15.from_u16_rows(rows)
-            x15 = f15.from_u16_rows(xin)
-            for _ in range(chain):
-                rows15 = f15.mont_mul(rows15, x15)
-            rows = f15.to_u16_rows(rows15)
-        else:
-            for _ in range(chain):
-                rows = pc.mont_mul(rows, xin)
+        rows = body([acc[i] for i in range(nrows)],
+                    [x_ref[i] for i in range(nrows)], mats)
         acc[...] = jnp.stack(rows)
         out_ref[...] = acc[...]
 
@@ -59,14 +67,21 @@ def _build_kernel(impl: str, chain: int, r: int):
     def run(x, steps: int):
         spec = pl.BlockSpec((nrows, r, pc.LANE), lambda i: (0, 0, 0),
                             memory_space=pltpu.VMEM)
+        mat_args = []
+        in_specs = []
+        if impl == "mxu":
+            for m in (fmxu.G_PINV_PACKED, fmxu.G_P_PACKED):
+                mat_args.append(jnp.asarray(m))
+                in_specs.append(pl.BlockSpec(
+                    m.shape, lambda i: (0, 0), memory_space=pltpu.VMEM))
         return pl.pallas_call(
             kernel,
             grid=(steps,),
-            in_specs=[spec],
+            in_specs=in_specs + [spec],
             out_specs=spec,
             out_shape=jax.ShapeDtypeStruct((nrows, r, pc.LANE), jnp.uint32),
             scratch_shapes=[pltpu.VMEM((nrows, r, pc.LANE), jnp.uint32)],
-        )(x)
+        )(*mat_args, x)
 
     return run
 
@@ -78,6 +93,8 @@ def main():
                     help="dependent muls per grid step (trace-unrolled)")
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--impls", nargs="+", default=["u16", "f15"],
+                    choices=["u16", "f15", "mxu"])
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -94,7 +111,7 @@ def main():
     x = jnp.asarray(x.reshape(16, r, 128))
 
     out = {}
-    for impl in ("u16", "f15"):
+    for impl in args.impls:
         run = _build_kernel(impl, args.chain, r)
         res = run(x, steps=args.steps)
         np.asarray(res[0, 0, 0])  # sync

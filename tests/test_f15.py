@@ -164,3 +164,45 @@ def test_f15_proj_add_matches_u16_core(rng):
                            *(f15.from_u16_rows(a) for a in p2))
     for a, b in zip(r16, (f15.to_u16_rows(r) for r in r15)):
         assert _from_u16(a) == _from_u16(b)
+
+
+def test_fmxu_mont_mul_matches_f15(rng):
+    """The MXU-REDC core (ops/fmxu.py) must be bit-identical to f15: the
+    constant convolutions become int8 matmuls with exact int32 accumulation
+    plus 15-bit-radix column redistribution — same function, different unit."""
+    from tpu_msm.ops import fmxu
+
+    vals_a = _rand_fp(rng, 16) + [0, 1, P - 1, (1 << 254) % P]
+    vals_b = _rand_fp(rng, 16) + [P - 1, 1, P - 1, P - 2]
+    a, b = _to_rows(vals_a), _to_rows(vals_b)
+    got = fmxu.mont_mul(a, b)
+    want = f15.mont_mul(a, b)
+    for g, w in zip(got, want):
+        assert (np.asarray(g) == np.asarray(w)).all()
+
+
+def test_fmxu_proj_madd_matches_f15(rng):
+    """Full RCB mixed add through the fmxu namespace (the exact compute the
+    mxu scan kernel runs per grid step) vs the f15 namespace."""
+    import jax
+
+    from tpu_msm.ops import fmxu
+
+    k = 8
+    pts = [oracle.ec_mul(oracle.GEN, int(rng.randint(1, 1 << 20)))
+           for _ in range(k)]
+    qts = [oracle.ec_mul(oracle.GEN, int(rng.randint(1, 1 << 20)))
+           for _ in range(k)]
+    to_mont = lambda v: (v << 256) % P
+    x1 = _to_rows([to_mont(p[0]) for p in pts])
+    y1 = _to_rows([to_mont(p[1]) for p in pts])
+    z1 = _to_rows([to_mont(1)] * k)
+    x2 = _to_rows([to_mont(q[0]) for q in qts])
+    y2 = _to_rows([to_mont(q[1]) for q in qts])
+    F = fmxu.make_namespace(jnp.asarray(fmxu.G_PINV_PACKED),
+                            jnp.asarray(fmxu.G_P_PACKED))
+    got = ec_rows.proj_madd(F, x1, y1, z1, x2, y2)
+    want = ec_rows.proj_madd(f15, x1, y1, z1, x2, y2)
+    for gc, wc in zip(got, want):
+        for g, w in zip(gc, wc):
+            assert (np.asarray(g) == np.asarray(w)).all()

@@ -203,3 +203,22 @@ def test_fold_add_matches_stepwise():
     for p in projs:
         acc = curve.proj_add(acc, p)
     _assert_proj_equal(got, acc)
+
+
+def test_scan_madd_u16_mxu_matches_u16():
+    """The MXU-REDC scan kernel (ops/fmxu.py) must be bit-identical to the
+    u16 kernel on the same packed inputs (incl. an infinity sentinel)."""
+    from tpu_msm.ops.pippenger import pack_u16_rows
+
+    rng = np.random.RandomState(83)
+    _, _, xs, ys = _stacked_steps(rng)
+    xs[1] = xs[1].at[:, 0].set(0)
+    ys[1] = ys[1].at[:, 0].set(0)
+    r = LANES // pc.LANE
+    pgx = jnp.stack([pack_u16_rows(a).reshape(8, r, pc.LANE) for a in xs],
+                    axis=1)
+    pgy = jnp.stack([pack_u16_rows(a).reshape(8, r, pc.LANE) for a in ys],
+                    axis=1)
+    ref = pc.scan_madd_packed_u16(pgx, pgy, interpret=True)
+    got = pc.scan_madd_packed_u16_mxu(pgx, pgy, interpret=True)
+    assert (np.asarray(ref) == np.asarray(got)).all()

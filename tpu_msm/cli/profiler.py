@@ -219,6 +219,13 @@ def check_kernels() -> int:
     if not ok:
         failures.append("scan_madd_u16_f15")
 
+    # MXU-REDC core (ops/fmxu.py): likewise bit-identical by construction.
+    ys48_mxu = pc.scan_madd_packed_u16_mxu(pgx, pgy)
+    ok = bool((np.asarray(ys48) == np.asarray(ys48_mxu)).all())
+    log.info("kernel %-18s %s", "scan_madd_u16_mxu", "OK" if ok else "MISMATCH")
+    if not ok:
+        failures.append("scan_madd_u16_mxu")
+
     res = pc.pmadd_packed(pk(p.x), pk(p.y), pk(p.z), pk(q_aff.x), pk(q_aff.y),
                           impl="f15")
     verify("pmadd_packed_f15", ProjPoint(*(pc.unpack_lanes(r) for r in res)),

@@ -657,6 +657,59 @@ def scan_madd_packed_u16_f15(gx, gy, interpret: bool = False):
     )(gx, gy)
 
 
+def _scan_madd_u16_mxu_kernel(gpinv_ref, gp_ref, gx_ref, gy_ref, oys,
+                              ax, ay, az):
+    """MXU-REDC variant of _scan_madd_u16_f15_kernel: same 15-bit-limb
+    accumulator and wire format, but each mont-mul's two constant
+    convolutions run as int8 matmuls on the MXU (ops/fmxu.py). The packed
+    group matrices arrive as kernel inputs (Pallas rejects captured
+    constants)."""
+    from tpu_msm.ops import f15, fmxu
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        ax[...] = jnp.zeros(ax.shape, jnp.uint32)
+        az[...] = jnp.zeros(az.shape, jnp.uint32)
+        ay[...] = jnp.stack(
+            [jnp.full(ay.shape[1:], c, jnp.uint32) for c in f15.ONE_MONT_ROWS])
+
+    F = fmxu.make_namespace(gpinv_ref[...], gp_ref[...])
+    gx, gy = gx_ref[:, 0], gy_ref[:, 0]
+    qx = f15.from_u16_rows(_unpack_pairs([gx[i] for i in range(8)]))
+    qy = f15.from_u16_rows(_unpack_pairs([gy[i] for i in range(8)]))
+    acc = tuple([ref[i] for i in range(f15.NROWS)] for ref in (ax, ay, az))
+    rx, ry, rz = _ec.proj_madd(F, acc[0], acc[1], acc[2], qx, qy)
+    out48 = [row for r in (rx, ry, rz) for row in f15.to_u16_rows(r)]
+    ax[...], ay[...], az[...] = jnp.stack(rx), jnp.stack(ry), jnp.stack(rz)
+    oys[:, 0] = jnp.stack(out48)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def scan_madd_packed_u16_mxu(gx, gy, interpret: bool = False):
+    """Drop-in replacement for scan_madd_packed_u16 with the MXU-REDC field
+    core (see ops/fmxu.py). Same signature, same bit-exact output."""
+    from tpu_msm.ops import f15, fmxu
+
+    _, steps, r, _ = gx.shape
+    out_shape = jax.ShapeDtypeStruct((3 * NROWS, steps, r, LANE), jnp.uint32)
+    in_spec = pl.BlockSpec((8, 1, r, LANE), lambda i: (0, i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((3 * NROWS, 1, r, LANE), lambda i: (0, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    mat_specs = [pl.BlockSpec(m.shape, lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+                 for m in (fmxu.G_PINV_PACKED, fmxu.G_P_PACKED)]
+    return pl.pallas_call(
+        _scan_madd_u16_mxu_kernel,
+        grid=(steps,),
+        in_specs=mat_specs + [in_spec] * 2,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((f15.NROWS, r, LANE), jnp.uint32)] * 3,
+        interpret=interpret,
+    )(jnp.asarray(fmxu.G_PINV_PACKED), jnp.asarray(fmxu.G_P_PACKED), gx, gy)
+
+
 def _fold_add_kernel(bx, by, bz, ox, oy, oz, ax, ay, az):
     _init_acc_inf(ax, ay, az)
     rx, ry, rz = _proj_add_rows(

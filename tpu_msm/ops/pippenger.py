@@ -229,6 +229,9 @@ def _msm_window(digits_negm, px, py, ppx, ppy, n: int, cfg: MsmConfig) -> ProjPo
     or None.
     """
     digits, negm = digits_negm
+    # Side stages (lane scan, query adds, reductions) under "mxu" run the
+    # f15 kernels (see scan_kernel selection below).
+    side_impl = "f15" if cfg.field_impl == "mxu" else cfg.field_impl
     c = cfg.window_bits
     m = cfg.buckets_per_window()
     n_pad = digits.shape[0]
@@ -262,8 +265,13 @@ def _msm_window(digits_negm, px, py, ppx, ppy, n: int, cfg: MsmConfig) -> ProjPo
                            1, 2).reshape(8, steps, r, pc.LANE)
         # Whole scan as ONE pallas_call: accumulator in VMEM scratch across
         # all steps; ys48 rows 0:16/16:32/32:48 are X/Y/Z prefix sums.
-        scan_kernel = (pc.scan_madd_packed_u16_f15 if cfg.field_impl == "f15"
-                       else pc.scan_madd_packed_u16)
+        # "mxu" applies to the scan kernel only (81% of the op count); the
+        # narrow side stages (lane scan, queries, reductions) run the f15
+        # kernels — their per-window widths are too small for the matmul
+        # relayouts to pay off.
+        scan_kernel = {"f15": pc.scan_madd_packed_u16_f15,
+                       "mxu": pc.scan_madd_packed_u16_mxu}.get(
+                           cfg.field_impl, pc.scan_madd_packed_u16)
         ys48 = scan_kernel(sgx, sgy).reshape(48, steps, lanes)
         ys = ProjPoint(ys48[0:16], ys48[16:32], ys48[32:48])
     else:
@@ -293,7 +301,7 @@ def _msm_window(digits_negm, px, py, ppx, ppy, n: int, cfg: MsmConfig) -> ProjPo
     # ys: ProjPoint of (16, steps, lanes) — per-lane inclusive local scans.
 
     totals = ProjPoint(*(a[:, -1] for a in ys))
-    inc = _lane_inclusive_scan(totals, lanes, backend, cfg.field_impl)
+    inc = _lane_inclusive_scan(totals, lanes, backend, side_impl)
     lane_idx = jnp.arange(lanes)
     carry = curve.select_point(
         lane_idx >= 1,
@@ -346,14 +354,14 @@ def _msm_window(digits_negm, px, py, ppx, ppy, n: int, cfg: MsmConfig) -> ProjPo
     else:
         local = ProjPoint(*(a[:, kq, lq] for a in ys))  # (16, M+1)
         lane_carry = ProjPoint(*(a[:, lq] for a in carry))
-    xvals = ec_add(lane_carry, local, backend, cfg.field_impl)
+    xvals = ec_add(lane_carry, local, backend, side_impl)
     xvals = curve.select_point(is_zero,
                                curve.proj_infinity((queries.shape[0],)), xvals)
 
     x_n = ProjPoint(*(a[:, m:m + 1] for a in xvals))     # X(n), batch (1,)
     x_starts = ProjPoint(*(a[:, :m] for a in xvals))     # X(s_b), b = 1..M
     sum_starts = ec_reduce(x_starts, cfg.reduce_fanout, backend,
-                           cfg.field_impl)
+                           side_impl)
 
     # window_sum = M * X(n) - sum_b X(s_b). Signed mode: M = 2^(c-1), a
     # pure doubling chain; unsigned: M = 2^c - 1 all-ones.

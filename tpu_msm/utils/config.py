@@ -70,10 +70,12 @@ class MsmConfig:
     segment_starts: str = "bincount"
 
     # Limb representation inside the fused scan kernel: "u16" (16x16-bit
-    # rows) or "f15" (17x15-bit rows — grouped raw product accumulation,
-    # ~30% fewer VPU ops per mixed add; see ops/f15.py). Wire format at the
-    # kernel boundary is identical, so this is purely a kernel-internal
-    # choice; results are bit-exact either way.
+    # rows), "f15" (17x15-bit rows — grouped raw product accumulation,
+    # ~30% fewer VPU ops per mixed add; see ops/f15.py), or "mxu" (the f15
+    # core with REDC's constant convolutions as int8 MXU matmuls — see
+    # ops/fmxu.py; applies to the scan kernel, side stages run f15). Wire
+    # format at the kernel boundary is identical, so this is purely a
+    # kernel-internal choice; results are bit-exact either way.
     field_impl: str = "u16"
 
     def num_windows(self) -> int:

@@ -120,7 +120,10 @@ VPU_U32_OPS_PER_S = 2 * 8 * 128 * 940e6
 # Measured kernel rates vs this model (artifacts/montmul.log): u16 comes
 # within 1.31x of the dual-issue model, f15 within 1.52x (its grouped-carry
 # schedule has less slot-pairable work).
-MONT_MUL_U32_OPS = {"u16": 3600, "f15": 2450}
+# "mxu": the f15 core with REDC's two constant convolutions moved to the
+# MXU as int8 matmuls (ops/fmxu.py) — only the a·b convolution (~780 ops),
+# piece splits, column recombines and ripples remain on the VPU.
+MONT_MUL_U32_OPS = {"u16": 3600, "f15": 2450, "mxu": 1300}
 # RCB mixed addition: 11 Montgomery muls + 2 mul-by-9 chains + ~12 mod-adds.
 MADD_MONT_MULS = 11
 # RCB complete projective-projective addition (a=0, Alg 7): 12 muls.
