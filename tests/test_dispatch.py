@@ -117,3 +117,27 @@ def test_msm_streamed_matches_oracle(rng):
     [got] = interop.proj_limbs_to_affine_points(
         np.asarray(res.x), np.asarray(res.y), np.asarray(res.z))
     assert got == oracle.msm(scalars, pts)
+
+
+@pytest.mark.slow
+@pytest.mark.device
+def test_msm_streamed_resident_device_inputs(rng):
+    """Device-array inputs take the resident path (one host->device pass,
+    chunked transients — see streaming._RESIDENT_INPUT_BYTES) and must match
+    both the host-streamed result and the oracle."""
+    import jax.numpy as jnp
+
+    from tpu_msm.ops import streaming
+
+    pts, scalars, px, py, sl = _array_inputs(rng, 100)
+    cfg = MsmConfig(window_bits=8, scan_lanes=8)
+    res_host = streaming.msm_streamed(px, py, sl, cfg=cfg, chunk_log=5,
+                                      resident=False)
+    res_dev = streaming.msm_streamed(jnp.asarray(px), jnp.asarray(py),
+                                     jnp.asarray(sl), cfg=cfg, chunk_log=5)
+    assert (np.asarray(res_host.x) == np.asarray(res_dev.x)).all()
+    assert (np.asarray(res_host.y) == np.asarray(res_dev.y)).all()
+    assert (np.asarray(res_host.z) == np.asarray(res_dev.z)).all()
+    [got] = interop.proj_limbs_to_affine_points(
+        np.asarray(res_dev.x), np.asarray(res_dev.y), np.asarray(res_dev.z))
+    assert got == oracle.msm(scalars, pts)
