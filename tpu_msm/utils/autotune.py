@@ -106,22 +106,33 @@ def lookup(n: int, platform: Optional[str] = None) -> Optional[dict]:
 
 
 def measure(log_size: int, cfg_kwargs: dict, repeats: int = 3) -> float:
-    """Median wall seconds of one jitted device MSM at 2^log_size."""
-    import jax
+    """Median wall seconds of one jitted device MSM at 2^log_size.
+
+    NOTE: on the tunneled TPU platform `block_until_ready` returns at
+    ENQUEUE time, so every timed run must end with a (tiny) device->host
+    fetch — without it the r3 sweep recorded 0.2 ms "measurements" of a
+    570 ms pipeline and would have committed a noise-ranked table onto the
+    dispatch path. Same caveat as bench.py / cli.profiler._sync.
+    """
+    import numpy as _np
     import jax.numpy as jnp
 
     from tpu_msm import msm_device
     from tpu_msm.utils import preprocess
     from tpu_msm.utils.config import MsmConfig
 
+    def _sync(res):
+        _np.asarray(res.x.ravel()[0:1])
+        return res
+
     cfg = MsmConfig(**cfg_kwargs)
     [inst] = preprocess.get_or_create_msm_instances(log_size, 1)
     px, py, sl = (jnp.asarray(a) for a in (inst.px, inst.py, inst.scalars))
-    jax.block_until_ready(msm_device(px, py, sl, cfg))  # compile + warm
+    _sync(msm_device(px, py, sl, cfg))  # compile + warm
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(msm_device(px, py, sl, cfg))
+        _sync(msm_device(px, py, sl, cfg))
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]
