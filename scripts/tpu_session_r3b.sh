@@ -52,18 +52,41 @@ run montmul_mxu 1500 python benches/montmul_benchmark.py \
 # 2. Kernel correctness on hardware, incl. the new mxu scan kernel.
 run kernel_check_tpu 1200 python -m tpu_msm.cli.profiler --check-kernels
 
-# 3. If the kernel wins, the pipeline measurement: focused autotune row.
-run autotune_mxu 1500 python - <<'EOF'
+# 3. The full autotune sweep (r3's was killed: its measure() lacked the
+#    device->host sync and recorded enqueue times). Combos the r3 session
+#    already compiled hit the server-side compile cache; mxu rows and the
+#    segment_starts/window_batch knobs are the new measurements.
+run autotune 3600 python - <<'EOF'
 from tpu_msm.utils import autotune
+autotune.sweep([20], space={
+    "window_bits": [16],
+    "scan_lanes": [4096, 8192],
+    "reduce_fanout": [2048, 4096],
+    "signed_digits": [True],
+    "field_impl": ["u16", "f15", "mxu"],
+}, repeats=2)
 autotune.sweep([20], space={
     "window_bits": [16],
     "scan_lanes": [8192],
     "reduce_fanout": [4096],
     "signed_digits": [True],
-    "field_impl": ["mxu"],
+    "field_impl": ["f15"],
+    "segment_starts": ["ss_scan", "ss_sort"],
+}, repeats=2)
+autotune.sweep([20], space={
+    "window_bits": [16],
+    "scan_lanes": [8192],
+    "reduce_fanout": [4096],
+    "signed_digits": [True],
+    "field_impl": ["f15"],
+    "window_batch": [2, 4],
 }, repeats=2)
 print("sweep done")
 EOF
+
+# 3b. profiler_20x5 rerun: the r3 run timed the tunnel's host->device link
+#     (9.8 s/run); instances are now placed in HBM once before timing.
+run profiler_20x5 1500 python -m tpu_msm.cli.profiler 20 5 tpu 2
 
 # 4. Full slow + device test tier on the real TPU backend (the committed
 #    green-ness record a judge can read instead of re-running 20-minute

