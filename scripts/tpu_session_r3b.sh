@@ -88,6 +88,10 @@ EOF
 #     (9.8 s/run); instances are now placed in HBM once before timing.
 run profiler_20x5 1500 python -m tpu_msm.cli.profiler 20 5 tpu 2
 
+# 3c. sharded mode on the real-device mesh (r3 budget died in the
+#     shard_map graph's >20-min compile).
+run profiler_sharded 2700 python -m tpu_msm.cli.profiler 18 1 sharded 1
+
 # 4. Full slow + device test tier on the real TPU backend (the committed
 #    green-ness record a judge can read instead of re-running 20-minute
 #    compiles). Excludes the 2-process distributed test (test_distributed
