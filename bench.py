@@ -84,6 +84,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from tpu_msm.utils.config import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from tpu_msm import msm_device
     from tpu_msm.ops import streaming
     from tpu_msm.utils.config import select_config

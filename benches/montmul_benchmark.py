@@ -99,6 +99,10 @@ def main():
 
     import jax.numpy as jnp
 
+    from tpu_msm.utils.config import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from tpu_msm.models import bn254
     from tpu_msm.utils import interop
     from tpu_msm.utils.profiling import MONT_MUL_U32_OPS, VPU_U32_OPS_PER_S

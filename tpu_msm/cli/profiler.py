@@ -287,7 +287,9 @@ def main(argv=None):
     )
 
     from tpu_msm.utils import preprocess
-    from tpu_msm.utils.config import select_config
+    from tpu_msm.utils.config import enable_persistent_cache, select_config
+
+    enable_persistent_cache()
 
     n = 1 << args.log_instance_size
     cfg = select_config(n)

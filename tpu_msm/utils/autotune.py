@@ -161,6 +161,9 @@ def sweep(log_sizes: List[int], space: Dict[str, list] = None,
     measurements taken so far (round 2 lost a full 900 s sweep to a
     write-only-at-the-end design)."""
     space = space or DEFAULT_SPACE
+    from tpu_msm.utils.config import enable_persistent_cache
+
+    enable_persistent_cache()
     platform = _platform()
     table = load_table()
     rows = table.setdefault(platform, {})

@@ -139,3 +139,26 @@ def select_config(n: int) -> MsmConfig:
         lanes //= 2
     return MsmConfig(window_bits=c, scan_lanes=lanes, signed_digits=signed,
                      field_impl=fimpl)
+
+
+def enable_persistent_cache() -> None:
+    """Point jax's persistent compilation cache at the repo-local dir.
+
+    Distinct full-pipeline graphs cost ~12-15 min of server-side compile on
+    the tunneled TPU; serialized executables are a few MB and reload in
+    seconds (measured: the streamed-MSM graphs cached by the test suite).
+    Call before the first jit execution — bench.py, the autotune sweep and
+    the profiler CLI all do. Safe to call twice; no-op if jax already has a
+    cache dir configured (e.g. under pytest, conftest set the per-host one).
+    """
+    import os
+
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:
+        return
+    d = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".cache", "jax-tpu")
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
