@@ -3,15 +3,15 @@
 # (segment_starts, window_batch), table rows at the other BASELINE sizes,
 # and refreshed stage-profile/headline artifacts under the tuned config.
 # Run AFTER tpu_session_r3b.sh. Per-step commits as before.
+# Step order: cached-graph steps (headline bench, stage profile) FIRST so the
+# high-value refreshed artifacts exist even if the window dies mid-sweep.
 set -u
 cd "$(dirname "$0")/.."
 OUT=${1:-artifacts}
 mkdir -p "$OUT"
 
-for _ in $(seq 180); do
-  pgrep -f "python -m pytest" > /dev/null || break
-  sleep 60
-done
+# (No pytest wait: CPU-tier pytest uses the per-host jax-<cpu> cache dir,
+# the TPU steps use .cache/jax-tpu — distinct files, no (de)serializer race.)
 
 run() {  # run <name> <timeout-s> <cmd...>
   local name=$1 tmo=$2 rc; shift 2
@@ -28,6 +28,30 @@ run() {  # run <name> <timeout-s> <cmd...>
   [ "$rc" -ne 0 ] && msg="$msg (rc=$rc)"
   git commit -q -m "$msg" 2>/dev/null || true
 }
+
+# 4. Fresh headline with the tuned table in place.
+run bench_log20 1800 python bench.py --log-size 20
+
+# 3. Refreshed acceptance artifacts under the tuned config.
+run stage_profile 1800 python - <<'EOF'
+import logging
+logging.basicConfig(level=logging.INFO)
+from tpu_msm.utils import profiling
+from tpu_msm.utils.config import enable_persistent_cache
+enable_persistent_cache()
+import json, pathlib
+kernel_rates = None
+try:
+    for line in pathlib.Path("artifacts/montmul.log").read_text().splitlines():
+        if line.startswith("{"):
+            d = json.loads(line)
+            kernel_rates = {k: v["mont_mul_per_s"] for k, v in d.items()}
+except Exception as e:
+    print(f"no kernel rates available ({e}); model-only ratios")
+r = profiling.roofline(20, kernel_rates=kernel_rates)
+print(json.dumps({k: (round(v, 6) if isinstance(v, float) else v)
+                  for k, v in r.items()}))
+EOF
 
 # 1. The unmeasured knobs, on top of the measured best (4096/2048/f15).
 run autotune_knobs 3600 python - <<'EOF'
@@ -63,29 +87,5 @@ autotune.sweep([16], space={**best, "window_bits": [16, 8],
                             "signed_digits": [True, False]}, repeats=2)
 print("sweep done")
 EOF
-
-# 3. Refreshed acceptance artifacts under the tuned config.
-run stage_profile 1800 python - <<'EOF'
-import logging
-logging.basicConfig(level=logging.INFO)
-from tpu_msm.utils import profiling
-from tpu_msm.utils.config import enable_persistent_cache
-enable_persistent_cache()
-import json, pathlib
-kernel_rates = None
-try:
-    for line in pathlib.Path("artifacts/montmul.log").read_text().splitlines():
-        if line.startswith("{"):
-            d = json.loads(line)
-            kernel_rates = {k: v["mont_mul_per_s"] for k, v in d.items()}
-except Exception as e:
-    print(f"no kernel rates available ({e}); model-only ratios")
-r = profiling.roofline(20, kernel_rates=kernel_rates)
-print(json.dumps({k: (round(v, 6) if isinstance(v, float) else v)
-                  for k, v in r.items()}))
-EOF
-
-# 4. Fresh headline with the tuned table in place.
-run bench_log20 1800 python bench.py --log-size 20
 
 echo "=== done ==="
