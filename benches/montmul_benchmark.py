@@ -25,7 +25,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 
 
-def _build_kernel(impl: str, chain: int, r: int):
+def _build_kernel(impl: str, chain: int, r: int, ilp: int = 1):
+    """ilp > 1 keeps `ilp` INDEPENDENT dependency chains live per step and
+    interleaves their muls — measures how much of the kernel-vs-model gap
+    is serialization (too few independent op pairs for the VPU's second
+    issue slot) rather than op count. The real scan kernel's EC formulas
+    carry ~4-11 semi-independent muls per stage, so the dependent single
+    chain (ilp=1) is the pessimistic bound and ilp~4 the optimistic one."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -43,9 +49,26 @@ def _build_kernel(impl: str, chain: int, r: int):
                                           gp=mats[1]))
             rows15 = f15.from_u16_rows(rows)
             x15 = f15.from_u16_rows(xin)
-            for _ in range(chain):
-                rows15 = mul(rows15, x15)
+            if ilp > 1:
+                chains = [rows15[k:] + rows15[:k] for k in range(ilp)]
+                for _ in range(chain):
+                    chains = [mul(c, x15) for c in chains]
+                acc = chains[0]
+                for c in chains[1:]:  # xor-fold keeps every chain live
+                    acc = [a ^ b for a, b in zip(acc, c)]
+                rows15 = [a & np.uint32(f15.MASK) for a in acc]
+            else:
+                for _ in range(chain):
+                    rows15 = mul(rows15, x15)
             return f15.to_u16_rows(rows15)
+        if ilp > 1:
+            chains = [rows[k:] + rows[:k] for k in range(ilp)]
+            for _ in range(chain):
+                chains = [pc.mont_mul(c, xin) for c in chains]
+            acc = chains[0]
+            for c in chains[1:]:
+                acc = [a ^ b for a, b in zip(acc, c)]
+            return [a & np.uint32(0xFFFF) for a in acc]
         for _ in range(chain):
             rows = pc.mont_mul(rows, xin)
         return rows
@@ -95,6 +118,9 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--impls", nargs="+", default=["u16", "f15"],
                     choices=["u16", "f15", "mxu"])
+    ap.add_argument("--ilp", type=int, default=1,
+                    help="independent interleaved chains per step (ILP "
+                         "headroom probe; 1 = dependent chain)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -116,7 +142,7 @@ def main():
 
     out = {}
     for impl in args.impls:
-        run = _build_kernel(impl, args.chain, r)
+        run = _build_kernel(impl, args.chain, r, ilp=args.ilp)
         res = run(x, steps=args.steps)
         np.asarray(res[0, 0, 0])  # sync
         times = []
@@ -126,7 +152,7 @@ def main():
             np.asarray(res[0, 0, 0])
             times.append(time.perf_counter() - t0)
         sec = sorted(times)[len(times) // 2]
-        muls = args.lanes * args.chain * args.steps
+        muls = args.lanes * args.chain * args.steps * args.ilp
         rate = muls / sec
         peak = VPU_U32_OPS_PER_S / MONT_MUL_U32_OPS[impl]
         out[impl] = {
