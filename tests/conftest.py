@@ -1,8 +1,10 @@
 """Test harness configuration.
 
 Platform policy:
-* Math/pipeline tests run on the default platform — the real TPU when the
-  axon tunnel is up (tests then validate the actual target), otherwise CPU.
+* Math/pipeline tests run on the default platform when opted in via
+  TPU_MSM_RUN_DEVICE=1 — the real TPU when the axon tunnel is up (tests then
+  validate the actual target), otherwise CPU. A plain `pytest` stays bounded
+  on every host class (see the tier policy below).
 * Sharding tests always use 8 virtual CPU devices (mesh over
   jax.devices("cpu")), which works alongside a TPU default — the same setup
   the driver's dryrun_multichip uses.
@@ -43,17 +45,18 @@ if os.environ.get("TPU_MSM_TEST_PLATFORM"):
 # variant took 267 s); eager op-by-op execution is no better (~3 s per
 # first-call EC op chain). A bounded default tier therefore cannot compile
 # device graphs on CPU at all. Policy:
-#   * `device`-marked tests (anything that executes jnp/pallas graphs) run
-#     when the default backend is a real accelerator, where compiles are
-#     seconds — or when TPU_MSM_RUN_DEVICE=1 opts in on CPU.
+#   * `device`-marked tests (anything that executes jnp/pallas graphs) are
+#     opt-in via TPU_MSM_RUN_DEVICE=1. They are NOT auto-enabled even when
+#     the axon-tunneled TPU is reachable: on that platform each distinct
+#     graph costs ~12-15 min of server-side compile, so a plain `pytest`
+#     would be unbounded (measured round 3 — a default run hit a 10-minute
+#     budget with zero tests reported). A genuinely local accelerator
+#     doesn't have this problem, but this host class only ever sees the
+#     tunnel, so the static env check below treats the tunnel as remote.
 #   * `slow`-marked tests are opt-in via TPU_MSM_RUN_SLOW=1 everywhere
 #     (compile-heavy pipeline variants, multi-process runs).
 # The static env check avoids initializing the backend at collection time.
-_HAS_ACCELERATOR = bool(
-    os.environ.get("PALLAS_AXON_POOL_IPS")
-    and os.environ.get("TPU_MSM_TEST_PLATFORM", "") != "cpu"
-)
-RUN_DEVICE = bool(os.environ.get("TPU_MSM_RUN_DEVICE")) or _HAS_ACCELERATOR
+RUN_DEVICE = bool(os.environ.get("TPU_MSM_RUN_DEVICE"))
 
 # Per-host-CPU cache dir: XLA:CPU AOT cache entries are not portable across
 # machine types (a foreign entry loads with feature-mismatch warnings and

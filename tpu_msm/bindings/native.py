@@ -14,6 +14,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from pathlib import Path
 from typing import List, Optional, Tuple
 
@@ -25,6 +26,12 @@ _REPO_ROOT = Path(__file__).resolve().parents[2]
 _NATIVE_DIR = Path(os.environ.get("TPU_MSM_NATIVE_DIR", _REPO_ROOT / "native"))
 
 _lib: Optional[ctypes.CDLL] = None
+# Initialization-only lock: the engine itself is reentrant (msm_cpu.cpp holds
+# no global mutable state — every call works on caller-owned buffers), so
+# concurrent msm() calls after load need no serialization. This is the
+# designed-in answer to the reference's global GPU mutex (msm.rs:250-255),
+# which exists because ITS concurrent MSMs once corrupted results.
+_load_lock = threading.Lock()
 
 Affine = Optional[Tuple[int, int]]
 
@@ -52,15 +59,19 @@ def _build() -> Path:
 def _load() -> ctypes.CDLL:
     global _lib
     if _lib is None:
-        lib = ctypes.CDLL(str(_build()))
-        u32p = ctypes.POINTER(ctypes.c_uint32)
-        lib.tpu_msm_cpu_msm.argtypes = [u32p, u32p, u32p, ctypes.c_size_t, u32p]
-        lib.tpu_msm_cpu_to_affine.argtypes = [u32p, u32p]
-        lib.tpu_msm_cpu_ec_mul_batch.argtypes = [
-            u32p, u32p, ctypes.c_size_t, u32p, u32p]
-        lib.tpu_msm_cpu_abi_version.restype = ctypes.c_int
-        assert lib.tpu_msm_cpu_abi_version() == 1
-        _lib = lib
+        with _load_lock:
+            if _lib is not None:
+                return _lib
+            lib = ctypes.CDLL(str(_build()))
+            u32p = ctypes.POINTER(ctypes.c_uint32)
+            lib.tpu_msm_cpu_msm.argtypes = [
+                u32p, u32p, u32p, ctypes.c_size_t, u32p]
+            lib.tpu_msm_cpu_to_affine.argtypes = [u32p, u32p]
+            lib.tpu_msm_cpu_ec_mul_batch.argtypes = [
+                u32p, u32p, ctypes.c_size_t, u32p, u32p]
+            lib.tpu_msm_cpu_abi_version.restype = ctypes.c_int
+            assert lib.tpu_msm_cpu_abi_version() == 1
+            _lib = lib
     return _lib
 
 

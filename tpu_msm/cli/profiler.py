@@ -2,10 +2,20 @@
 (src/bin/gpu_profiler.rs:17-172).
 
 Usage (positional args mirror the reference's
-`log_instance_size num_instances run_mode retries`):
+`log_instance_size num_instances run_mode retries parallel_runs`):
 
     python -m tpu_msm.cli.profiler 20 5 tpu 10
     python -m tpu_msm.cli.profiler 16 3 check 1
+    python -m tpu_msm.cli.profiler 16 2 best 2 4   # concurrency stress
+
+`parallel_runs > 1` is the reference's concurrency-stress mode
+(gpu_profiler.rs:57-63,102-132): each instance is split into that many
+chunks, every chunk runs on its own thread after a random 0-50 ms delay, and
+the EC sum of the chunk results is asserted equal to the single-threaded
+result of the same mode. The reference added this because concurrent GPU
+MSMs once corrupted results (hence its global mutex, msm.rs:250-255); here
+it exercises the two pieces of shared state on the concurrent path — the
+JAX jit/compile caches and the ctypes native engine.
 
 Run modes (reference modes gpu | gpu_cpu | best_gpu | cpu | check,
 gpu_profiler.rs:143-172, mapped to the TPU architecture):
@@ -111,6 +121,51 @@ def _jac_to_affine(res):
         np.asarray(res.x), np.asarray(res.y), np.asarray(res.z)
     )
     return pt
+
+
+def _run_parallel(inst, cfg, mode: str, k: int):
+    """Concurrency-stress run (reference: gpu_profiler.rs:102-132): split the
+    instance into `k` chunks, run every chunk on its own thread after a
+    random 0-50 ms delay, EC-sum the chunk results. Returns the combined
+    affine point; raises if any thread fails. MSM is linear over (point,
+    scalar) pairs, so the combined result must equal the single-threaded
+    one — the assert lives in the caller's timing loop."""
+    import random
+    import threading
+
+    from tpu_msm.utils import oracle, preprocess
+
+    n = inst.px.shape[1]
+    bounds = [round(i * n / k) for i in range(k + 1)]
+    results = [None] * k
+    errors = []
+
+    def worker(i):
+        try:
+            time.sleep(random.uniform(0, 0.05))
+            lo, hi = bounds[i], bounds[i + 1]
+            sub = preprocess.MsmInstance(
+                inst.px[:, lo:hi], inst.py[:, lo:hi], inst.scalars[:, lo:hi])
+            if mode == "tpu":
+                results[i] = _jac_to_affine(_run_tpu(sub, cfg))
+            elif mode == "best":
+                results[i] = _run_best(sub)
+            else:
+                results[i] = _run_cpu(sub)
+        except Exception as e:  # pragma: no cover - surfaced via RuntimeError
+            errors.append((i, repr(e)))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(k)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise RuntimeError(f"parallel chunk(s) failed: {errors}")
+    acc = None
+    for r in results:
+        acc = oracle.ec_add(acc, r)
+    return acc
 
 
 def check_kernels() -> int:
@@ -266,6 +321,12 @@ def main(argv=None):
     ap.add_argument("run_mode", nargs="?", default="tpu",
                     choices=["tpu", "sharded", "best", "cpu", "check", "stream", "hybrid"])
     ap.add_argument("retries", type=int, nargs="?", default=1)
+    ap.add_argument("parallel_runs", type=int, nargs="?", default=1,
+                    help="concurrency stress: split each instance into this "
+                         "many chunks run on concurrent threads with random "
+                         "0-50 ms start delays; asserts the EC sum matches "
+                         "the single-threaded result "
+                         "(reference gpu_profiler.rs:57-63,102-132)")
     ap.add_argument("-v", "--verbose", action="store_true")
     ap.add_argument("--check-kernels", action="store_true",
                     help="differential-check the Pallas kernels on this "
@@ -314,8 +375,29 @@ def main(argv=None):
             for i in instances
         ]
 
+    expected = None
+    if args.parallel_runs > 1:
+        if args.run_mode not in ("tpu", "best", "cpu"):
+            ap.error("parallel_runs > 1 supports run modes tpu | best | cpu")
+        # Per-instance single-threaded reference results. For device modes
+        # the native engine is the reference (running the full-size device
+        # graph would add a fresh server-side compile this mode never uses);
+        # chunk-shaped graphs are warmed below, excluded from timing.
+        log.info("parallel_runs=%d: computing single-threaded references",
+                 args.parallel_runs)
+        expected = [_run_cpu(inst) if args.run_mode != "best"
+                    else _run_best(inst) for inst in instances]
+        if args.run_mode == "tpu":
+            n0 = instances[0].px.shape[1]
+            b = [round(i * n0 / args.parallel_runs)
+                 for i in range(args.parallel_runs + 1)]
+            for lo, hi in {(b[i], b[i + 1]) for i in range(args.parallel_runs)}:
+                sub = preprocess.MsmInstance(
+                    instances[0].px[:, lo:hi], instances[0].py[:, lo:hi],
+                    instances[0].scalars[:, lo:hi])
+                _run_tpu(sub, cfg)  # warm each distinct chunk shape
     # Warm-up compile (excluded from timing, like criterion's warmup).
-    if args.run_mode in ("tpu", "check"):
+    elif args.run_mode in ("tpu", "check"):
         _run_tpu(instances[0], cfg)
     elif args.run_mode == "best":
         _run_best(instances[0])
@@ -331,7 +413,14 @@ def main(argv=None):
     for retry in range(args.retries):
         for i, inst in enumerate(instances):
             t0 = time.perf_counter()
-            if args.run_mode == "tpu":
+            if args.parallel_runs > 1:
+                got = _run_parallel(inst, cfg, args.run_mode,
+                                    args.parallel_runs)
+                if got != expected[i]:
+                    log.error("CONCURRENCY MISMATCH at instance %d: "
+                              "parallel=%s single=%s", i, got, expected[i])
+                    return 1
+            elif args.run_mode == "tpu":
                 _run_tpu(inst, cfg)
             elif args.run_mode == "sharded":
                 _run_sharded(inst, cfg)
@@ -355,6 +444,9 @@ def main(argv=None):
             runs += 1
             log.debug("retry %d instance %d: %.1f ms", retry, i, dt * 1e3)
 
+    if args.parallel_runs > 1:
+        log.info("parallel stress: %d runs x %d concurrent chunks, all "
+                 "results == single-threaded ✓", runs, args.parallel_runs)
     log.info("Total Execution Time: %.1f ms", total * 1e3)
     log.info("Average Execution Time: %.1f ms (%d runs, %.2f Mpoints/s)",
              total / runs * 1e3, runs, n * runs / total / 1e6)
