@@ -43,10 +43,10 @@ def _build_kernel(impl: str, chain: int, r: int, ilp: int = 1):
     nrows = pc.NROWS
 
     def body(rows, xin, mats):
-        if impl in ("f15", "mxu"):
-            mul = (f15.mont_mul if impl == "f15"
-                   else functools.partial(fmxu.mont_mul, gpinv=mats[0],
-                                          gp=mats[1]))
+        if impl in ("f15", "f15c", "mxu"):
+            mul = {"f15": f15.mont_mul_conv, "f15c": f15.mont_mul_cios}.get(
+                impl) or functools.partial(fmxu.mont_mul, gpinv=mats[0],
+                                           gp=mats[1])
             rows15 = f15.from_u16_rows(rows)
             x15 = f15.from_u16_rows(xin)
             if ilp > 1:
@@ -117,7 +117,7 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--impls", nargs="+", default=["u16", "f15"],
-                    choices=["u16", "f15", "mxu"])
+                    choices=["u16", "f15", "f15c", "mxu"])
     ap.add_argument("--ilp", type=int, default=1,
                     help="independent interleaved chains per step (ILP "
                          "headroom probe; 1 = dependent chain)")
@@ -154,7 +154,7 @@ def main():
         sec = sorted(times)[len(times) // 2]
         muls = args.lanes * args.chain * args.steps * args.ilp
         rate = muls / sec
-        peak = VPU_U32_OPS_PER_S / MONT_MUL_U32_OPS[impl]
+        peak = VPU_U32_OPS_PER_S / MONT_MUL_U32_OPS.get(impl, MONT_MUL_U32_OPS["f15"])
         out[impl] = {
             "mont_mul_per_s": round(rate, 1),
             "seconds": round(sec, 6),
@@ -163,7 +163,7 @@ def main():
         }
         print(f"{impl}: {rate/1e6:.1f}M mont-mul/s "
               f"({out[impl]['ratio_to_roofline']}x off the "
-              f"{MONT_MUL_U32_OPS[impl]}-u32-op roofline)", flush=True)
+              f"{MONT_MUL_U32_OPS.get(impl, MONT_MUL_U32_OPS['f15'])}-u32-op roofline)", flush=True)
     print(json.dumps(out))
 
 

@@ -206,3 +206,54 @@ def test_fmxu_proj_madd_matches_f15(rng):
     for gc, wc in zip(got, want):
         for g, w in zip(gc, wc):
             assert (np.asarray(g) == np.asarray(w)).all()
+
+
+def test_mont_mul_cios_matches_conv(rng):
+    """The production word-serial CIOS REDC (f15.mont_mul = mont_mul_cios)
+    must be bit-identical to the convolution-REDC multiplier it replaced
+    (mont_mul_conv) — including the 0 / 1 / P-1 corners."""
+    vals_a = [0, 1, P - 1] + [int.from_bytes(rng.bytes(32), "little") % P
+                              for _ in range(5)]
+    vals_b = [P - 1, 0, 1] + [int.from_bytes(rng.bytes(32), "little") % P
+                              for _ in range(5)]
+    a = [jnp.asarray([(v >> (15 * i)) & 0x7FFF for v in vals_a], jnp.uint32)
+         for i in range(f15.NROWS)]
+    b = [jnp.asarray([(v >> (15 * i)) & 0x7FFF for v in vals_b], jnp.uint32)
+         for i in range(f15.NROWS)]
+    got = f15.mont_mul_cios(a, b)
+    want = f15.mont_mul_conv(a, b)
+    for g, w in zip(got, want):
+        assert (np.asarray(g) == np.asarray(w)).all()
+    for j, (va, vb) in enumerate(zip(vals_a, vals_b)):
+        v = sum(int(np.asarray(got[i])[j]) << (15 * i)
+                for i in range(f15.NROWS))
+        assert v == va * vb * pow(1 << 256, -1, P) % P
+
+
+def test_dual_field_matches_single(rng):
+    """ec_rows.DualField (two interleaved half-batch streams — the VLIW
+    dual-issue kernel layout) must be bit-identical to the single-stream
+    namespace on the concatenated batch: same formula, disjoint lanes."""
+    from tpu_msm.ops.ec_rows import DualField
+
+    k1 = [3, 5, 9, 9, 1, 7, 13, 2]
+    k2 = [4, 11, 9, oracle.FR - 9, 2, 0, 6, 8]  # incl. double/inverse/inf
+    p1 = [oracle.ec_mul(oracle.GEN, k) for k in k1]
+    p2 = [oracle.ec_mul(oracle.GEN, k) if k else None for k in k2]
+    to_m = lambda v: v * (R % P) % P
+    x1 = f15.from_u16_rows(_to_u16([to_m(p[0]) for p in p1]))
+    y1 = f15.from_u16_rows(_to_u16([to_m(p[1]) for p in p1]))
+    z1 = f15.from_u16_rows(_to_u16([to_m(1)] * len(p1)))
+    x2 = f15.from_u16_rows(_to_u16([to_m(p[0]) if p else 0 for p in p2]))
+    y2 = f15.from_u16_rows(_to_u16([to_m(p[1]) if p else 0 for p in p2]))
+
+    single = ec_rows.proj_madd(f15, x1, y1, z1, x2, y2)
+    h = len(k1) // 2
+    split = lambda rows: ([r[:h] for r in rows], [r[h:] for r in rows])
+    dual = ec_rows.proj_madd(DualField(f15), split(x1), split(y1),
+                             split(z1), split(x2), split(y2))
+    for s, d in zip(single, dual):
+        joined = [np.concatenate([np.asarray(a), np.asarray(b)])
+                  for a, b in zip(d[0], d[1])]
+        for sr, dr in zip(s, joined):
+            assert (np.asarray(sr) == dr).all()

@@ -281,6 +281,23 @@ def check_kernels() -> int:
     if not ok:
         failures.append("scan_madd_u16_mxu")
 
+    # Dual-stream f15 core (ec_rows.DualField): bit-identical by construction
+    # (disjoint lane halves, same math). lanes=1024 -> r=8 would fall back to
+    # the single-stream kernel, so check at 2048 lanes.
+    wide = 2048
+    wr = wide // pc.LANE
+    wx, wy = zip(*(points(wide) for _ in range(steps)))
+    wgx = jnp.stack([pack_u16_rows(a).reshape(8, wr, pc.LANE) for a in wx],
+                    axis=1)
+    wgy = jnp.stack([pack_u16_rows(a).reshape(8, wr, pc.LANE) for a in wy],
+                    axis=1)
+    ys48_w = pc.scan_madd_packed_u16_f15(wgx, wgy)
+    ys48_d = pc.scan_madd_packed_u16_f15d(wgx, wgy)
+    ok = bool((np.asarray(ys48_w) == np.asarray(ys48_d)).all())
+    log.info("kernel %-18s %s", "scan_madd_u16_f15d", "OK" if ok else "MISMATCH")
+    if not ok:
+        failures.append("scan_madd_u16_f15d")
+
     res = pc.pmadd_packed(pk(p.x), pk(p.y), pk(p.z), pk(q_aff.x), pk(q_aff.y),
                           impl="f15")
     verify("pmadd_packed_f15", ProjPoint(*(pc.unpack_lanes(r) for r in res)),

@@ -17,6 +17,61 @@ the MSL `ECPoint<Fp, A, Fr>` template instantiated per field
 from __future__ import annotations
 
 
+class _DualMask(tuple):
+    """Pair of boolean masks (one per stream) supporting `&`."""
+
+    def __and__(self, other):
+        return _DualMask((self[0] & other[0], self[1] & other[1]))
+
+
+class DualField:
+    """Field namespace running TWO independent half-batch streams,
+    interleaved at field-op granularity. Values are 2-tuples of the base
+    namespace's row lists.
+
+    Why: the TPU VPU is a 2-slot VLIW, and one dependent mont-mul chain
+    cannot fill the second issue slot — measured on v5e (8192 lanes,
+    artifacts/montmul_ilp{1,2}.log): a single chain runs 474.4 M mont-mul/s
+    while two interleaved independent chains run 769.0 M/s, 1.022x off the
+    dual-issue op-count roofline. Lanes in the MSM scan are independent by
+    construction, so splitting a block into two half-blocks and tracing the
+    EC formula once over the pair hands the scheduler a pairable second
+    stream for every op. (The reference has no analogue — Metal GPUs hide
+    latency with warps, not VLIW slots.)
+    """
+
+    def __init__(self, base):
+        self.base = base
+
+    def _map2(self, fn, *args):
+        return (fn(*(a[0] for a in args)), fn(*(a[1] for a in args)))
+
+    def mont_mul(self, a, b):
+        return self._map2(self.base.mont_mul, a, b)
+
+    def add_mod(self, a, b):
+        return self._map2(self.base.add_mod, a, b)
+
+    def sub_mod(self, a, b):
+        return self._map2(self.base.sub_mod, a, b)
+
+    def dbl_mod(self, a):
+        return self._map2(self.base.dbl_mod, a)
+
+    def mul9(self, a):
+        return self._map2(self.base.mul9, a)
+
+    def is_zero(self, a):
+        return _DualMask((self.base.is_zero(a[0]), self.base.is_zero(a[1])))
+
+    def select(self, mask, a, b):
+        return (self.base.select(mask[0], a[0], b[0]),
+                self.base.select(mask[1], a[1], b[1]))
+
+    def zero_rows(self, like):
+        return self._map2(self.base.zero_rows, like)
+
+
 def proj_add(F, x1, y1, z1, x2, y2, z2):
     """Complete projective P + Q (RCB Algorithm 7, a = 0)."""
     t0 = F.mont_mul(x1, x2)

@@ -215,13 +215,18 @@ def _halve(rows):
     return out
 
 
-def mont_mul(a, b):
+def mont_mul_conv(a, b):
     """Montgomery product a·b·2^-256 mod P of canonical rows, result < P.
 
     REDC at 2^255 (m = t_lo·(-P^-1) mod 2^255; (t + mP) >> 255) then one
     exact halving to restore the u16 core's 2^256 scaling. The final sum
     ripples ONCE over the raw t and m·P columns combined (their per-column
     sums stay < 2^22), instead of three separate full ripples.
+
+    Superseded as the production multiplier by `mont_mul_cios` below
+    (measured +10% on v5e: 474.4 -> 524.0 M mul/s single-chain, 769.0 ->
+    809.2 M dual-chain, artifacts/montmul_*ilp*.log); kept as the
+    differential pin for it (test_f15.py).
     """
     t_cols = _conv_cols(a, b, NROWS)  # 34 raw columns
     t_lo, _ = ripple(t_cols[:NROWS])  # canonical low block (value t mod 2^255)
@@ -231,6 +236,77 @@ def mont_mul(a, b):
     comb = [x + y for x, y in zip(t_cols, mp_cols)]
     rows, _ = ripple(comb)  # low 17 rows are structurally zero
     return _halve(cond_sub_p(rows[NROWS:]))
+
+
+def mont_mul_cios(a, b):
+    """Bit-identical alternative to `mont_mul_conv` with word-serial REDC (CIOS,
+    the shape of the reference's u32 CIOS, fp_bn254.h.metal:237-290, re-cut
+    for 15-bit limbs).
+
+    Instead of materializing the full 17-limb m = t_lo·(-P^-1) mod 2^255
+    (a 153-mul truncated convolution plus its own ripple), each m digit is
+    produced word-by-word from the running column value using only
+    pinv0 = (-P^-1) mod 2^15, and the m_j·P products are consumed by the
+    same grouped raw accumulation as `_conv_cols`. Saves ~14% of the VPU
+    ops of a mont-mul (no m-conv, no m ripple, the low half of t+mP
+    resolves inside the digit chain) and shortens the serial spine (the
+    ~5-op/word digit chain replaces two full 17-word ripples). Measured on
+    hardware by benches/montmul_benchmark.py --impls f15c.
+    """
+    t_cols = _conv_cols(a, b, NROWS)  # 34 raw columns, each < 2^22
+    pinv0 = PINV_ROWS[0]
+    zero = jnp.zeros_like(a[0])
+    ncols = 2 * NROWS
+    # Pending m_j * P_d product operands per output column (filled as the
+    # m digits become known; flushed in GROUP-sized raw batches).
+    pending = [[] for _ in range(ncols)]
+    extra = [None] * ncols  # group carries + digit-chain spill per column
+
+    def _acc(k, v):
+        extra[k] = v if extra[k] is None else extra[k] + v
+
+    def _flush(k, v):
+        """Add column k's pending products to v in groups of GROUP; group
+        carries go one column up. Returns the updated column value."""
+        for g0 in range(0, len(pending[k]), GROUP):
+            g = None
+            for x, y in pending[k][g0:g0 + GROUP]:
+                p = x * y
+                g = p if g is None else g + p
+            v = v + (g & MASK)
+            if k + 1 < ncols:
+                _acc(k + 1, g >> BITS)
+        return v
+
+    carry = None
+    for k in range(NROWS):
+        v = t_cols[k]
+        if extra[k] is not None:
+            v = v + extra[k]
+        v = _flush(k, v)
+        if carry is not None:
+            v = v + carry
+        mk = ((v & MASK) * pinv0) & MASK
+        v = v + mk * P_ROWS[0]  # low 15 bits of v are now structurally zero
+        carry = v >> BITS
+        for d in range(1, NROWS):
+            pending[k + d].append((mk, P_ROWS[d]))
+    # High half: grouped products + t columns + the digit chain's carry.
+    hi = []
+    for k in range(NROWS, ncols):
+        v = t_cols[k] if k < len(t_cols) else zero
+        if extra[k] is not None:
+            v = v + extra[k]
+        v = _flush(k, v)
+        if k == NROWS:
+            v = v + carry
+        hi.append(v)
+    rows, _ = ripple(hi)  # (t + m*P) >> 255 < 2P: no carry out of row 16
+    return _halve(cond_sub_p(rows))
+
+
+# Production multiplier: the word-serial CIOS REDC (see measurements above).
+mont_mul = mont_mul_cios
 
 
 def mont_sqr(a):

@@ -480,6 +480,55 @@ def _padd_f15_kernel(ax, ay, az, bx, by, bz, ox, oy, oz):
     ox[...], oy[...], oz[...] = _f15_out(rx), _f15_out(ry), _f15_out(rz)
 
 
+# --- Dual-stream (f15d) variants: the block's sublanes are split into two
+# independent halves and the formula is traced once over the pair
+# (ec_rows.DualField) so every field op has a pairable twin for the VPU's
+# second VLIW issue slot. Bit-exact vs the single-stream kernels (disjoint
+# lanes, same math); measured basis in artifacts/montmul_ilp{1,2}.log.
+
+def _dual_halves(ref):
+    h = ref.shape[1] // 2
+    return (slice(None, h), slice(h, None))
+
+
+def _dual_f15_in(ref, halves):
+    from tpu_msm.ops import f15
+
+    return tuple(f15.from_u16_rows([ref[i, s] for i in range(NROWS)])
+                 for s in halves)
+
+
+def _dual_f15_out(d):
+    from tpu_msm.ops import f15
+
+    u0, u1 = f15.to_u16_rows(d[0]), f15.to_u16_rows(d[1])
+    return jnp.stack([jnp.concatenate([a, b], axis=0)
+                      for a, b in zip(u0, u1)])
+
+
+def _pmadd_f15d_kernel(px_, py_, pz_, qx_, qy_, ox, oy, oz):
+    from tpu_msm.ops import f15
+    from tpu_msm.ops.ec_rows import DualField
+
+    hs = _dual_halves(px_)
+    rx, ry, rz = _ec.proj_madd(
+        DualField(f15), _dual_f15_in(px_, hs), _dual_f15_in(py_, hs),
+        _dual_f15_in(pz_, hs), _dual_f15_in(qx_, hs), _dual_f15_in(qy_, hs))
+    ox[...], oy[...], oz[...] = (_dual_f15_out(r) for r in (rx, ry, rz))
+
+
+def _padd_f15d_kernel(ax, ay, az, bx, by, bz, ox, oy, oz):
+    from tpu_msm.ops import f15
+    from tpu_msm.ops.ec_rows import DualField
+
+    hs = _dual_halves(ax)
+    rx, ry, rz = _ec.proj_add(
+        DualField(f15), _dual_f15_in(ax, hs), _dual_f15_in(ay, hs),
+        _dual_f15_in(az, hs), _dual_f15_in(bx, hs), _dual_f15_in(by, hs),
+        _dual_f15_in(bz, hs))
+    ox[...], oy[...], oz[...] = (_dual_f15_out(r) for r in (rx, ry, rz))
+
+
 # ---------------------------------------------------------------------------
 # Whole-stage fused kernels. The stepwise wrappers above launch one
 # pallas_call per scan/fold step, so the EC accumulator round-trips HBM on
@@ -657,6 +706,76 @@ def scan_madd_packed_u16_f15(gx, gy, interpret: bool = False):
     )(gx, gy)
 
 
+def _scan_madd_u16_f15d_kernel(gx_ref, gy_ref, oys, ax, ay, az):
+    """Dual-stream variant of _scan_madd_u16_f15_kernel: the lane block is
+    split into two independent sublane halves and the EC formula is traced
+    once over the pair (ec_rows.DualField), so every field op has a pairable
+    twin for the VPU's second VLIW issue slot. Identical wire format and
+    bit-exact output (the streams never interact — pure elementwise math on
+    disjoint lanes). Measured basis: one dependent mont-mul chain 474.4 M/s
+    vs two interleaved chains 769.0 M/s on v5e
+    (artifacts/montmul_ilp{1,2}.log)."""
+    from tpu_msm.ops import f15
+    from tpu_msm.ops.ec_rows import DualField
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        ax[...] = jnp.zeros(ax.shape, jnp.uint32)
+        az[...] = jnp.zeros(az.shape, jnp.uint32)
+        ay[...] = jnp.stack(
+            [jnp.full(ay.shape[1:], c, jnp.uint32) for c in f15.ONE_MONT_ROWS])
+
+    gx, gy = gx_ref[:, 0], gy_ref[:, 0]
+    h = gx.shape[-2] // 2
+    halves = (slice(None, h), slice(h, None))
+
+    def dual_from_packed(g):
+        return tuple(f15.from_u16_rows(_unpack_pairs([g[i, s] for i in range(8)]))
+                     for s in halves)
+
+    qx, qy = dual_from_packed(gx), dual_from_packed(gy)
+    accx, accy, accz = (
+        tuple([ref[i, s] for i in range(f15.NROWS)] for s in halves)
+        for ref in (ax, ay, az))
+    rx, ry, rz = _ec.proj_madd(DualField(f15), accx, accy, accz, qx, qy)
+
+    def join(d):
+        return [jnp.concatenate([a, b], axis=0) for a, b in zip(d[0], d[1])]
+
+    ax[...], ay[...], az[...] = (jnp.stack(join(r)) for r in (rx, ry, rz))
+    out48 = []
+    for r in (rx, ry, rz):
+        out48.extend(join((f15.to_u16_rows(r[0]), f15.to_u16_rows(r[1]))))
+    oys[:, 0] = jnp.stack(out48)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def scan_madd_packed_u16_f15d(gx, gy, interpret: bool = False):
+    """Drop-in replacement for scan_madd_packed_u16 running the 15-bit-limb
+    core as two interleaved half-blocks (see _scan_madd_u16_f15d_kernel).
+    Requires >= 16 sublanes (2048 lanes) so each half keeps whole (8, 128)
+    vregs; callers fall back to the single-stream kernel below that."""
+    from tpu_msm.ops import f15
+
+    _, steps, r, _ = gx.shape
+    if r < 16:
+        return scan_madd_packed_u16_f15(gx, gy, interpret=interpret)
+    out_shape = jax.ShapeDtypeStruct((3 * NROWS, steps, r, LANE), jnp.uint32)
+    in_spec = pl.BlockSpec((8, 1, r, LANE), lambda i: (0, i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((3 * NROWS, 1, r, LANE), lambda i: (0, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _scan_madd_u16_f15d_kernel,
+        grid=(steps,),
+        in_specs=[in_spec] * 2,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((f15.NROWS, r, LANE), jnp.uint32)] * 3,
+        interpret=interpret,
+    )(gx, gy)
+
+
 def _scan_madd_u16_mxu_kernel(gpinv_ref, gp_ref, gx_ref, gy_ref, oys,
                               ax, ay, az):
     """MXU-REDC variant of _scan_madd_u16_f15_kernel: same 15-bit-limb
@@ -742,6 +861,41 @@ def _fold_add_f15_kernel(bx, by, bz, ox, oy, oz, ax, ay, az):
     ox[...], oy[...], oz[...] = _f15_out(rx), _f15_out(ry), _f15_out(rz)
 
 
+def _fold_add_f15d_kernel(bx, by, bz, ox, oy, oz, ax, ay, az):
+    """Dual-stream fold: accumulator halves in f15 scratch, formula traced
+    once over the pair (see _pmadd_f15d_kernel)."""
+    from tpu_msm.ops import f15
+    from tpu_msm.ops.ec_rows import DualField
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        ax[...] = jnp.zeros(ax.shape, jnp.uint32)
+        az[...] = jnp.zeros(az.shape, jnp.uint32)
+        ay[...] = jnp.stack(
+            [jnp.full(ay.shape[1:], c, jnp.uint32) for c in f15.ONE_MONT_ROWS])
+
+    h = ax.shape[1] // 2
+    halves = (slice(None, h), slice(h, None))
+    accx, accy, accz = (
+        tuple([ref[i, s] for i in range(f15.NROWS)] for s in halves)
+        for ref in (ax, ay, az))
+
+    def din(ref):
+        return tuple(
+            f15.from_u16_rows([ref[i, 0, s] for i in range(NROWS)])
+            for s in halves)
+
+    rx, ry, rz = _ec.proj_add(DualField(f15), accx, accy, accz,
+                              din(bx), din(by), din(bz))
+
+    def join(d):
+        return jnp.stack([jnp.concatenate([a, b], axis=0)
+                          for a, b in zip(d[0], d[1])])
+
+    ax[...], ay[...], az[...] = join(rx), join(ry), join(rz)
+    ox[...], oy[...], oz[...] = (_dual_f15_out(r) for r in (rx, ry, rz))
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "impl"))
 def fold_add_packed(bx, by, bz, interpret: bool = False, impl: str = "u16"):
     """EC-sum over the step axis (complete projective add): one pallas_call,
@@ -755,8 +909,11 @@ def fold_add_packed(bx, by, bz, interpret: bool = False, impl: str = "u16"):
     from tpu_msm.ops import f15
 
     _, steps, r, _ = bx.shape
-    acc_rows = f15.NROWS if impl == "f15" else NROWS
-    kernel = _fold_add_f15_kernel if impl == "f15" else _fold_add_kernel
+    if impl == "f15d" and r < 16:
+        impl = "f15"  # halves must keep whole (8, 128) vregs
+    acc_rows = f15.NROWS if impl in ("f15", "f15d") else NROWS
+    kernel = {"f15": _fold_add_f15_kernel,
+              "f15d": _fold_add_f15d_kernel}.get(impl, _fold_add_kernel)
     in_spec = pl.BlockSpec((NROWS, 1, r, LANE), lambda i: (0, i, 0, 0),
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((NROWS, r, LANE), lambda i: (0, 0, 0),
@@ -779,10 +936,13 @@ def pmadd_packed(px_, py_, pz_, qx_, qy_, interpret: bool = False,
                  sub: int | None = None, impl: str = "u16"):
     """Complete projective mixed add on packed (16, R, 128) uint32 arrays."""
     s = _pick_sub(px_.shape[1], sub)
+    if impl == "f15d" and s < 16:
+        impl = "f15"  # halves must keep whole (8, 128) vregs
     grid = (px_.shape[1] // s,)
     shape = jax.ShapeDtypeStruct(px_.shape, jnp.uint32)
     out = pl.pallas_call(
-        _pmadd_f15_kernel if impl == "f15" else _pmadd_kernel,
+        {"f15": _pmadd_f15_kernel,
+         "f15d": _pmadd_f15d_kernel}.get(impl, _pmadd_kernel),
         grid=grid,
         in_specs=[_spec(s)] * 5,
         out_specs=[_spec(s)] * 3,
@@ -797,10 +957,13 @@ def padd_packed(ax, ay, az, bx, by, bz, interpret: bool = False,
                 sub: int | None = None, impl: str = "u16"):
     """Complete projective add on packed (16, R, 128) uint32 arrays."""
     s = _pick_sub(ax.shape[1], sub)
+    if impl == "f15d" and s < 16:
+        impl = "f15"  # halves must keep whole (8, 128) vregs
     grid = (ax.shape[1] // s,)
     shape = jax.ShapeDtypeStruct(ax.shape, jnp.uint32)
     out = pl.pallas_call(
-        _padd_f15_kernel if impl == "f15" else _padd_kernel,
+        {"f15": _padd_f15_kernel,
+         "f15d": _padd_f15d_kernel}.get(impl, _padd_kernel),
         grid=grid,
         in_specs=[_spec(s)] * 6,
         out_specs=[_spec(s)] * 3,

@@ -230,7 +230,10 @@ def _msm_window(digits_negm, px, py, ppx, ppy, n: int, cfg: MsmConfig) -> ProjPo
     """
     digits, negm = digits_negm
     # Side stages (lane scan, query adds, reductions) under "mxu" run the
-    # f15 kernels (see scan_kernel selection below).
+    # f15 kernels (see scan_kernel selection below): their per-window widths
+    # are too small for the matmul relayouts to pay off. "f15d" passes
+    # through — the side wrappers themselves fall back to single-stream f15
+    # below 16 sublanes per block.
     side_impl = "f15" if cfg.field_impl == "mxu" else cfg.field_impl
     c = cfg.window_bits
     m = cfg.buckets_per_window()
@@ -270,6 +273,7 @@ def _msm_window(digits_negm, px, py, ppx, ppy, n: int, cfg: MsmConfig) -> ProjPo
         # kernels — their per-window widths are too small for the matmul
         # relayouts to pay off.
         scan_kernel = {"f15": pc.scan_madd_packed_u16_f15,
+                       "f15d": pc.scan_madd_packed_u16_f15d,
                        "mxu": pc.scan_madd_packed_u16_mxu}.get(
                            cfg.field_impl, pc.scan_madd_packed_u16)
         ys48 = scan_kernel(sgx, sgy).reshape(48, steps, lanes)

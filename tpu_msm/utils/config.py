@@ -71,7 +71,10 @@ class MsmConfig:
 
     # Limb representation inside the fused scan kernel: "u16" (16x16-bit
     # rows), "f15" (17x15-bit rows — grouped raw product accumulation,
-    # ~30% fewer VPU ops per mixed add; see ops/f15.py), or "mxu" (the f15
+    # ~30% fewer VPU ops per mixed add; see ops/f15.py), "f15d" (the f15
+    # core over two interleaved half-blocks so every op has a pairable twin
+    # for the VPU's second VLIW issue slot — ec_rows.DualField; scan kernel
+    # only, needs >= 2048 lanes), or "mxu" (the f15
     # core with REDC's constant convolutions as int8 MXU matmuls — see
     # ops/fmxu.py; applies to the scan kernel, side stages run f15). Wire
     # format at the kernel boundary is identical, so this is purely a
