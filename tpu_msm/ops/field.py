@@ -42,6 +42,12 @@ def p_limbs(like):
     return _const(bn254.P_LIMBS, like)
 
 
+def const_mont(value: int):
+    """(16, 1) limb array of an integer constant (caller supplies Montgomery
+    form when the consumer expects it — e.g. glv.BETA_MONT)."""
+    return u256.from_const(bn254.int_to_limbs(value, LIMBS))
+
+
 def zero(batch_shape):
     return jnp.zeros((LIMBS, *batch_shape), dtype=U32)
 

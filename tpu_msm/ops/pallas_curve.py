@@ -749,25 +749,78 @@ def _scan_madd_u16_f15d_kernel(gx_ref, gy_ref, oys, ax, ay, az):
     oys[:, 0] = jnp.stack(out48)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def scan_madd_packed_u16_f15d(gx, gy, interpret: bool = False):
+def _make_scan_f15d_batched_kernel(k: int):
+    """Dual-stream scan kernel body handling `k` sequential scan steps per
+    grid step. Why: the 1-step kernel measured 121 us/grid-step at 4096
+    lanes against a 56 us dual-issue compute bound (artifacts/scan_probe.log
+    — and f15 == f15d there, so the VPU was NOT the limiter): per-step
+    DMA/launch overhead dominated. Batching k steps amortizes it; the
+    per-step madd math is unchanged and the accumulator still lives in VMEM
+    scratch across the whole window."""
+
+    def kernel(gx_ref, gy_ref, oys, ax, ay, az):
+        from tpu_msm.ops import f15
+        from tpu_msm.ops.ec_rows import DualField
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            ax[...] = jnp.zeros(ax.shape, jnp.uint32)
+            az[...] = jnp.zeros(az.shape, jnp.uint32)
+            ay[...] = jnp.stack([jnp.full(ay.shape[1:], c, jnp.uint32)
+                                 for c in f15.ONE_MONT_ROWS])
+
+        h = gx_ref.shape[-2] // 2
+        halves = (slice(None, h), slice(h, None))
+        acc = tuple(
+            tuple([ref[i, s] for i in range(f15.NROWS)] for s in halves)
+            for ref in (ax, ay, az))
+
+        def join(d):
+            return [jnp.concatenate([a, b], axis=0)
+                    for a, b in zip(d[0], d[1])]
+
+        for j in range(k):
+            gx, gy = gx_ref[:, j], gy_ref[:, j]
+            qx, qy = (tuple(
+                f15.from_u16_rows(_unpack_pairs([g[i, s] for i in range(8)]))
+                for s in halves) for g in (gx, gy))
+            acc = _ec.proj_madd(DualField(f15), *acc, qx, qy)
+            out48 = []
+            for r_ in acc:
+                out48.extend(join((f15.to_u16_rows(r_[0]),
+                                   f15.to_u16_rows(r_[1]))))
+            oys[:, j] = jnp.stack(out48)
+        ax[...], ay[...], az[...] = (jnp.stack(join(r_)) for r_ in acc)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "step_batch"))
+def scan_madd_packed_u16_f15d(gx, gy, interpret: bool = False,
+                              step_batch: int = 1):
     """Drop-in replacement for scan_madd_packed_u16 running the 15-bit-limb
     core as two interleaved half-blocks (see _scan_madd_u16_f15d_kernel).
     Requires >= 16 sublanes (2048 lanes) so each half keeps whole (8, 128)
-    vregs; callers fall back to the single-stream kernel below that."""
+    vregs; callers fall back to the single-stream kernel below that.
+    `step_batch` > 1 processes that many scan steps per grid step (same
+    math; amortizes per-grid-step DMA/launch overhead — see
+    _make_scan_f15d_batched_kernel)."""
     from tpu_msm.ops import f15
 
     _, steps, r, _ = gx.shape
     if r < 16:
         return scan_madd_packed_u16_f15(gx, gy, interpret=interpret)
+    k = step_batch if steps % max(step_batch, 1) == 0 else 1
     out_shape = jax.ShapeDtypeStruct((3 * NROWS, steps, r, LANE), jnp.uint32)
-    in_spec = pl.BlockSpec((8, 1, r, LANE), lambda i: (0, i, 0, 0),
+    in_spec = pl.BlockSpec((8, k, r, LANE), lambda i: (0, i, 0, 0),
                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((3 * NROWS, 1, r, LANE), lambda i: (0, i, 0, 0),
+    out_spec = pl.BlockSpec((3 * NROWS, k, r, LANE), lambda i: (0, i, 0, 0),
                             memory_space=pltpu.VMEM)
+    kernel = (_scan_madd_u16_f15d_kernel if k == 1
+              else _make_scan_f15d_batched_kernel(k))
     return pl.pallas_call(
-        _scan_madd_u16_f15d_kernel,
-        grid=(steps,),
+        kernel,
+        grid=(steps // k,),
         in_specs=[in_spec] * 2,
         out_specs=out_spec,
         out_shape=out_shape,

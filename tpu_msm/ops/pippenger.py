@@ -388,6 +388,24 @@ def window_sums(points: AffinePoint, scalar_limbs, cfg: MsmConfig) -> ProjPoint:
     if scalar_limbs.shape[1] != n:
         raise ValueError(
             f"points ({n}) and scalars ({scalar_limbs.shape[1]}) differ in count")
+    glv_neg = None
+    if cfg.glv:
+        # GLV split (ops/glv.py): 2n points x half the windows. The halves'
+        # signs fold into the signed-digit negation masks below; scalars
+        # must be canonical (< r) for the |k_i| < 2^127 bound.
+        if not cfg.signed_digits or cfg.scalar_bits != 254:
+            raise ValueError("glv requires signed_digits and scalar_bits=254")
+        from tpu_msm.ops import glv
+
+        m1, s1, m2, s2 = glv.decompose_limbs(scalar_limbs)
+        beta = field.const_mont(glv.BETA_MONT)
+        points = AffinePoint(
+            jnp.concatenate([points.x, field.mont_mul(points.x, beta)], 1),
+            jnp.concatenate([points.y, points.y], 1))
+        scalar_limbs = jnp.concatenate([m1, m2], axis=1)
+        glv_neg = jnp.concatenate([s1, s2])
+        cfg = dataclasses.replace(cfg, glv=False, scalar_bits=127)
+        n = 2 * n
     c = cfg.window_bits
     w = cfg.num_windows()
     lanes = min(cfg.scan_lanes, 1 << _ceil_log2(max(n, 1)))
@@ -399,6 +417,8 @@ def window_sums(points: AffinePoint, scalar_limbs, cfg: MsmConfig) -> ProjPoint:
     m = cfg.buckets_per_window()
     if cfg.signed_digits:
         digits, negm = signed_window_digits(scalar_limbs, cfg)  # (W, N) each
+        if glv_neg is not None:  # negative GLV half: negate every digit
+            negm = negm ^ glv_neg[None, :]
         y_neg = field.neg_mod(points.y)  # negated points for negative digits
     else:
         digits = window_digits(scalar_limbs, cfg)  # (W, N)

@@ -39,7 +39,7 @@ DEFAULT_SPACE = {
 }
 
 _KNOBS = ("window_bits", "scan_lanes", "reduce_fanout", "signed_digits",
-          "field_impl", "segment_starts", "window_batch")
+          "field_impl", "segment_starts", "window_batch", "glv")
 
 
 def _platform() -> str:

@@ -81,6 +81,16 @@ class MsmConfig:
     # kernel-internal choice; results are bit-exact either way.
     field_impl: str = "u16"
 
+    # GLV endomorphism decomposition (ops/glv.py): each 254-bit scalar is
+    # split into two signed halves |k_i| < 2^127 and the point set is
+    # doubled with phi(P) = (BETA*x, y), so the pipeline runs 2n points over
+    # HALF the windows — the scan work is unchanged but every per-window
+    # fixed cost (lane-carry scan, bucket queries, ec_reduce, Horner)
+    # halves. Requires signed_digits and the default scalar_bits (the
+    # decomposition bound analysis assumes canonical scalars < r). Bit-exact
+    # (tests/test_glv.py); the reference has no analogue.
+    glv: bool = False
+
     def num_windows(self) -> int:
         bits = self.scalar_bits + (1 if self.signed_digits else 0)
         return -(-bits // self.window_bits)
@@ -122,7 +132,8 @@ def select_config(n: int) -> MsmConfig:
                          field_impl=tuned.get("field_impl", "u16"),
                          segment_starts=tuned.get("segment_starts",
                                                   "bincount"),
-                         window_batch=tuned.get("window_batch", 1))
+                         window_batch=tuned.get("window_batch", 1),
+                         glv=tuned.get("glv", False))
     if n < (1 << 17):
         c = 8
         signed = False
