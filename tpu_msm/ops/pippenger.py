@@ -273,7 +273,9 @@ def _msm_window(digits_negm, px, py, ppx, ppy, n: int, cfg: MsmConfig) -> ProjPo
         # kernels — their per-window widths are too small for the matmul
         # relayouts to pay off.
         scan_kernel = {"f15": pc.scan_madd_packed_u16_f15,
-                       "f15d": pc.scan_madd_packed_u16_f15d,
+                       "f15d": functools.partial(
+                           pc.scan_madd_packed_u16_f15d,
+                           step_batch=cfg.scan_step_batch),
                        "mxu": pc.scan_madd_packed_u16_mxu}.get(
                            cfg.field_impl, pc.scan_madd_packed_u16)
         ys48 = scan_kernel(sgx, sgy).reshape(48, steps, lanes)

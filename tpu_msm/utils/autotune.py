@@ -39,7 +39,8 @@ DEFAULT_SPACE = {
 }
 
 _KNOBS = ("window_bits", "scan_lanes", "reduce_fanout", "signed_digits",
-          "field_impl", "segment_starts", "window_batch", "glv")
+          "field_impl", "segment_starts", "window_batch", "glv",
+          "scan_step_batch")
 
 
 def _platform() -> str:

@@ -81,6 +81,13 @@ class MsmConfig:
     # kernel-internal choice; results are bit-exact either way.
     field_impl: str = "u16"
 
+    # Scan steps processed per Pallas grid step (field_impl="f15d" only).
+    # The 1-step kernel measured 121 us/grid-step against a 56 us dual-issue
+    # compute bound at 4096 lanes (artifacts/scan_probe.log) — per-step
+    # DMA/launch overhead; batching amortizes it. Must divide the step
+    # count or the kernel falls back to 1.
+    scan_step_batch: int = 1
+
     # GLV endomorphism decomposition (ops/glv.py): each 254-bit scalar is
     # split into two signed halves |k_i| < 2^127 and the point set is
     # doubled with phi(P) = (BETA*x, y), so the pipeline runs 2n points over
@@ -133,7 +140,8 @@ def select_config(n: int) -> MsmConfig:
                          segment_starts=tuned.get("segment_starts",
                                                   "bincount"),
                          window_batch=tuned.get("window_batch", 1),
-                         glv=tuned.get("glv", False))
+                         glv=tuned.get("glv", False),
+                         scan_step_batch=tuned.get("scan_step_batch", 1))
     if n < (1 << 17):
         c = 8
         signed = False
