@@ -45,18 +45,21 @@ def main():
     from tpu_msm.utils import interop, oracle  # noqa: E402
     from tpu_msm.utils.config import MsmConfig  # noqa: E402
 
-    # Production-shaped window structure (c=16 signed => W=16, the 3 KB
-    # payload the BASELINE model assumes) at a tiny per-chip n so the local
-    # stage compiles in minutes on this 1-core host.
+    # Production-shaped PAYLOAD (W = 16 windows => the 3 KB per-chip
+    # collective payload the BASELINE model assumes) with tiny per-window
+    # graphs: c = 8 with 120-bit scalars gives ceil(121/8) = 16 windows and
+    # only 2^7 bucket queries per window — the c=16/254-bit graph's 2^15
+    # queries are uncompilable in bounded time on this 1-core host (same
+    # reason tests/test_sharded.py caps scalar_bits).
     n_per = 64
-    cfg = MsmConfig(window_bits=16, scan_lanes=16, signed_digits=True,
-                    backend="jnp")
+    cfg = MsmConfig(window_bits=8, scan_lanes=16, signed_digits=True,
+                    scalar_bits=120, backend="jnp")
     rng = np.random.RandomState(20260820)
 
     def inputs(n):
         ks = [int(rng.randint(1, 1 << 24)) for _ in range(n)]
         pts = [oracle.ec_mul(oracle.GEN, k) for k in ks]
-        scalars = [int.from_bytes(rng.bytes(32), "little") % oracle.FR
+        scalars = [int.from_bytes(rng.bytes(32), "little") % (1 << 120)
                    for _ in range(n)]
         px, py = interop.affine_points_to_limbs(pts)
         return px, py, interop.ints_to_limbs(scalars), pts, scalars

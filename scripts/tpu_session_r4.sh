@@ -57,6 +57,10 @@ run bench_log20_r4 2400 python bench.py --log-size 20
 # 3. Small-size crossover (VERDICT #3): device vs native engine 2^12..2^17.
 run crossover 9000 python scripts/crossover.py --log-sizes 12 13 14 15 16 17
 
+# 3b. Side-stage attribution on a quiet host (the first run was contaminated
+#     by CPU contention inflating dispatch RTT to 637 ms).
+run probe_sides 4800 python scripts/probe_sides.py
+
 # 4. Stage profile + roofline under the tuned config.
 run stage_profile_r4 2400 python - <<'EOF'
 import logging
