@@ -72,7 +72,7 @@ def main():
     #    + the lane-carry gather + the wide query add + select.
     ys48 = u32(48, steps, lanes)
     car48 = u32(48, lanes)
-    q = jnp.asarray(rng.randint(0, steps * lanes, m + 1024).astype(np.int32))
+    q = jnp.asarray(rng.randint(0, steps * lanes, m + 4096).astype(np.int32))
 
     def queries(ys, car, qpos):
         is_zero = qpos == 0
@@ -97,7 +97,7 @@ def main():
     report("query_gather_only", med(lambda: f(ys48, q)))
 
     # 3. ec_reduce of the X(s_b) batch (fanout 2048).
-    xs = ProjPoint(u32(16, m + 1024), u32(16, m + 1024), u32(16, m + 1024))
+    xs = ProjPoint(u32(16, m), u32(16, m), u32(16, m))  # pipeline width: exactly m (pow2)
     f = jax.jit(lambda p: sum(a.sum(dtype=jnp.uint32) for a in
                               pippenger.ec_reduce(p, 2048, "pallas", "f15")))
     report("ec_reduce", med(lambda: f(xs)))

@@ -334,14 +334,18 @@ def _msm_window(digits_negm, px, py, ppx, ppy, n: int, cfg: MsmConfig) -> ProjPo
     queries = jnp.concatenate(
         [starts, jnp.full((1,), n, starts.dtype)])  # s_1..s_M, n
 
-    # Pad the query batch up to a Pallas-friendly width (multiple of 1024)
-    # so the wide ec_add below runs the fused kernel, not the spill-heavy
-    # jnp path — m+1 = 2^(c-1)+1 in signed mode is 1 over the boundary.
+    # Pad the query batch up to a Pallas-friendly width so the wide ec_add
+    # below runs the fused kernel, not the spill-heavy jnp path — m+1 =
+    # 2^(c-1)+1 in signed mode is 1 over the boundary. Pad to a multiple of
+    # 4096 (not 1024): the kernel block picker (_pick_sub) wants the
+    # largest power-of-two sublane divisor, and 33792/128 = 264 = 8*33
+    # capped blocks at 8 sublanes — too narrow for the dual-stream (f15d)
+    # kernels and 4x the grid steps. Any multiple of 4096 gives r % 32 == 0.
     # Padding queries repeat position n and are sliced off after the add.
     nq = m + 1
-    if _use_pallas(backend, ((nq + _PALLAS_MIN_WIDTH - 1)
-                             // _PALLAS_MIN_WIDTH) * _PALLAS_MIN_WIDTH):
-        q_pad = -(-nq // _PALLAS_MIN_WIDTH) * _PALLAS_MIN_WIDTH - nq
+    _QPAD = 4 * _PALLAS_MIN_WIDTH
+    if _use_pallas(backend, -(-nq // _QPAD) * _QPAD):
+        q_pad = -(-nq // _QPAD) * _QPAD - nq
         if q_pad:
             queries = jnp.concatenate(
                 [queries, jnp.full((q_pad,), n, queries.dtype)])
