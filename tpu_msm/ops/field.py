@@ -112,6 +112,23 @@ def mont_mul(a, b):
     return redc(u256.mul_full(a, b))
 
 
+def mont_mul_const(a, c_int: int):
+    """Montgomery product of a (16, N) batch with an integer CONSTANT
+    (caller supplies the Montgomery form, e.g. glv.BETA_MONT).
+
+    Same math as mont_mul, but every multiply is a static-loop constant
+    product (u256.mul_const): mont_mul's mul_full materializes a
+    (16, 32, N) outer product + anti-diagonal gather, measured ~0.5 s at
+    N = 2^20 in the first GLV row (artifacts/autotune_r4b.log); this shape
+    is a few thousand flat vector ops."""
+    t = u256.mul_const(a, c_int, 32)
+    m = u256.mul_const(t[:LIMBS], bn254.limbs_to_int(bn254.P_INV_NEG_LIMBS),
+                       LIMBS)
+    mp = u256.mul_const(m, bn254.P, 32)
+    s, _ = u256.add(t, mp)  # low 16 limbs structurally zero
+    return cond_sub_p(s[LIMBS:])
+
+
 def mont_mul_many(pairs):
     """Compute many independent Montgomery products as ONE stacked multiply.
 

@@ -34,9 +34,10 @@ Everything here is exact integer math:
   _K1_FINAL/_K2_FINAL asserts).
 
 Device path (`decompose_limbs`) is pure vectorized u256 limb arithmetic on
-(16, N) arrays — two mul_full + four mul_lo per scalar, negligible against
-the pipeline's ~227M mont-muls at log 20. The host path (`decompose_int`)
-mirrors it bit-for-bit for the oracle tests.
+(16, N) arrays — six static-loop constant products (u256.mul_const; NOT
+mul_full, whose outer-product+gather shape measured ~0.5 s at 2^20),
+negligible against the pipeline's ~227M mont-muls at log 20. The host path
+(`decompose_int`) mirrors it bit-for-bit for the oracle tests.
 """
 
 from __future__ import annotations
@@ -158,13 +159,16 @@ def _const16(v: int):
     return u256.from_const(bn254.int_to_limbs(v, 16))
 
 
-def _q_fixed(k_limbs, m_const_16, bias_32):
-    """floor((k*M + 2^271) / 2^272) as (16, N) limbs. M fits 16 limbs
-    (M2 < 2^145), so the product is one 256x256 mul_full; the biased
-    272-bit shift is a pure limb drop."""
-    prod = u256.mul_full(k_limbs, m_const_16)
-    prod, _ = u256.add(prod, bias_32)
-    pad = jnp.zeros((1,) + prod.shape[1:], prod.dtype)
+def _q_fixed(k_limbs, m_int: int):
+    """floor((k*M + 2^271) / 2^272) as (16, N) limbs (M < 2^146: the
+    26-limb product's columns come from static loops, the biased shift is
+    a limb drop)."""
+    n_out = 26  # 16 + 10 limbs covers k*M2 < 2^400
+    prod = u256.mul_const(k_limbs, m_int, n_out)
+    bias = np.zeros((n_out, 1), np.uint32)
+    bias[16, 0] = 0x8000  # 2^271
+    prod, _ = u256.add(prod, jnp.asarray(bias))
+    pad = jnp.zeros((16 - (n_out - 17),) + prod.shape[1:], prod.dtype)
     return jnp.concatenate([prod[17:], pad])
 
 
@@ -204,21 +208,19 @@ def _cond_correct(k1, k2, which, va, vb):
 
 def decompose_limbs(scalar_limbs):
     """(16, N) standard-form scalars (< r) -> (|k1|, neg1, |k2|, neg2):
-    magnitude limb arrays (16, N) with limbs 8.. zero-ish (|k_i| < 2^127 +
-    2^64) and boolean negation masks (N,). Bit-exact mirror: decompose_int."""
-    assert M1 < 1 << 256 and M2 < 1 << 256
-    m1c, m2c = _const16(M1), _const16(M2)
-    bias = u256.from_const(bn254.int_to_limbs(1 << (_SHIFT - 1), 32))
-    q1 = _q_fixed(scalar_limbs, m1c, bias)
-    q2 = _q_fixed(scalar_limbs, m2c, bias)
+    magnitude limb arrays (16, N) with limbs 8.. zero-ish (|k_i| < 2^127)
+    and boolean negation masks (N,). Bit-exact mirror: decompose_int.
+    All multiplies are static-loop constant products (_mul_const)."""
+    q1 = _q_fixed(scalar_limbs, M1)
+    q2 = _q_fixed(scalar_limbs, M2)
 
     a1c, a2c = _const16(A1), _const16(A2)
     b1n = _const16(-B1)  # |B1| (B1 < 0)
     b2c = _const16(B2)
 
-    t1, _ = u256.add(u256.mul_lo(q1, a1c), u256.mul_lo(q2, a2c))
+    t1, _ = u256.add(u256.mul_const(q1, A1, 16), u256.mul_const(q2, A2, 16))
     k1, _ = u256.sub(scalar_limbs, t1)
-    k2, _ = u256.sub(u256.mul_lo(q1, b1n), u256.mul_lo(q2, b2c))
+    k2, _ = u256.sub(u256.mul_const(q1, -B1, 16), u256.mul_const(q2, B2, 16))
 
     k1, k2 = _cond_correct(k1, k2, 0, a2c, b2c)
     k1, k2 = _cond_correct(k1, k2, 1, a1c, _neg(b1n))

@@ -404,10 +404,9 @@ def window_sums(points: AffinePoint, scalar_limbs, cfg: MsmConfig) -> ProjPoint:
         from tpu_msm.ops import glv
 
         m1, s1, m2, s2 = glv.decompose_limbs(scalar_limbs)
-        beta = field.const_mont(glv.BETA_MONT)
-        points = AffinePoint(
-            jnp.concatenate([points.x, field.mont_mul(points.x, beta)], 1),
-            jnp.concatenate([points.y, points.y], 1))
+        phix = field.mont_mul_const(points.x, glv.BETA_MONT)
+        points = AffinePoint(jnp.concatenate([points.x, phix], 1),
+                             jnp.concatenate([points.y, points.y], 1))
         scalar_limbs = jnp.concatenate([m1, m2], axis=1)
         glv_neg = jnp.concatenate([s1, s2])
         cfg = dataclasses.replace(cfg, glv=False, scalar_bits=127)

@@ -196,6 +196,41 @@ def mul_lo(a, b):
     return limbs
 
 
+def mul_const(a, b_int: int, n_out: int):
+    """(16, *batch) limbs times an integer CONSTANT -> n_out limbs, exact
+    mod 2^(16*n_out).
+
+    Static per-limb loops: `mul_full` materializes a (16, 32, *batch)
+    padded outer product and gathers anti-diagonals — fine at test widths,
+    catastrophic at 2^20 (the GLV decomposition's first autotune row spent
+    ~0.5 s here, artifacts/autotune_r4b.log). With b known at trace time
+    this emits ~16*nb vectorized mult/mask/shift/adds on the batch rows and
+    no large intermediate at all; zero limbs of b are skipped."""
+    nb = -(-max(b_int.bit_length(), 1) // LIMB_BITS)
+    lo = [None] * n_out
+    hi = [None] * n_out
+    for j in range(nb):
+        bj = np.uint32((b_int >> (LIMB_BITS * j)) & 0xFFFF)
+        if bj == 0:
+            continue
+        for i in range(LIMBS):
+            k = i + j
+            if k >= n_out:
+                break
+            p = a[i] * bj
+            pl = p & _MASK
+            lo[k] = pl if lo[k] is None else lo[k] + pl
+            if k + 1 < n_out:
+                ph = p >> np.uint32(LIMB_BITS)
+                hi[k + 1] = ph if hi[k + 1] is None else hi[k + 1] + ph
+    zero = jnp.zeros_like(a[0])
+    cols = jnp.stack([
+        (lo[k] if lo[k] is not None else zero)
+        + (hi[k] if hi[k] is not None else zero) for k in range(n_out)])
+    limbs, _ = _carry_propagate(cols, n_out)
+    return limbs
+
+
 # ---------------------------------------------------------------------------
 # Shifts and bit extraction (reference: unsigned_int.h.metal:186-309).
 # ---------------------------------------------------------------------------
