@@ -39,12 +39,15 @@ Affine = Optional[Tuple[int, int]]
 ZERO_FILTER_THRESHOLD = 0.30
 
 # Below this size the adaptive dispatcher uses the native C++ host engine
-# instead of the device (reference: size < 2^17 -> pure CPU
-# halo2curves::msm_best, src/metal/msm.rs:440-444; our crossover is lower
-# because the TPU pipeline amortizes better). Override: TPU_MSM_CPU_THRESHOLD.
+# instead of the device. MEASURED crossover (artifacts/crossover.log,
+# scripts/crossover.py, real v5e + this host's native engine): native wins
+# at 2^12 (55 vs 118 ms) and 2^13 (102 vs 130 ms), the device wins from
+# 2^14 up (153 vs 210 ms, margin growing with size). The reference measured
+# its own threshold the same way (2^17 for its M-series GPU,
+# src/metal/msm.rs:440-444). Override: TPU_MSM_CPU_THRESHOLD.
 import os as _os
 
-CPU_THRESHOLD = int(_os.environ.get("TPU_MSM_CPU_THRESHOLD", 1 << 13))
+CPU_THRESHOLD = int(_os.environ.get("TPU_MSM_CPU_THRESHOLD", 1 << 14))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

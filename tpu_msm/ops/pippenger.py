@@ -217,23 +217,182 @@ def ec_reduce(pts: ProjPoint, fanout: int = 256, backend: str = "jnp",
     return _roll_reduce(pts, b, backend, impl)
 
 
-def _msm_window(digits_negm, px, py, ppx, ppy, n: int, cfg: MsmConfig) -> ProjPoint:
-    """Window sum for one window. Returns (16, 1).
+def _window_heavy(digits_negm, ppx, ppy, n: int, cfg: MsmConfig):
+    """Per-window HEAVY stages of the fused path: 17-operand payload sort,
+    whole-window fused scan, segment starts, and the two big-array reads
+    (bucket-boundary gather from ys48, last-step lane totals). Returns only
+    small per-window arrays; everything O(n)-sized dies here. The cheap
+    per-window tails are batched across ALL windows afterwards
+    (_sides_batched) — 16x wider vector ops and 16x fewer kernel dispatches
+    than running them inside the window loop (the side stages measured ~half
+    of e2e at 2^20 while being ~19% of the op count: dispatch/width
+    overhead, not math — probe_rtt/probe_sides artifacts)."""
+    from tpu_msm.ops import pallas_curve as pc
+
+    digits, negm = digits_negm
+    m = cfg.buckets_per_window()
+    n_pad = digits.shape[0]
+    lanes = cfg.scan_lanes
+    steps = n_pad // lanes
+    r = lanes // pc.LANE
+
+    ppy_w = ppy[0] if negm is None else jnp.where(negm[None, :], ppy[1], ppy[0])
+    sorted_ops = jax.lax.sort(
+        [digits] + [ppx[i] for i in range(8)] + [ppy_w[i] for i in range(8)],
+        num_keys=1)
+    sorted_digits = sorted_ops[0]
+    sgx = jnp.moveaxis(jnp.stack(sorted_ops[1:9]).reshape(8, lanes, steps),
+                       1, 2).reshape(8, steps, r, pc.LANE)
+    sgy = jnp.moveaxis(jnp.stack(sorted_ops[9:17]).reshape(8, lanes, steps),
+                       1, 2).reshape(8, steps, r, pc.LANE)
+    scan_kernel = {"f15": pc.scan_madd_packed_u16_f15,
+                   "f15d": functools.partial(
+                       pc.scan_madd_packed_u16_f15d,
+                       step_batch=cfg.scan_step_batch),
+                   "mxu": pc.scan_madd_packed_u16_mxu}.get(
+                       cfg.field_impl, pc.scan_madd_packed_u16)
+    ys48 = scan_kernel(sgx, sgy).reshape(48, steps, lanes)
+
+    if cfg.segment_starts == "bincount":
+        counts = jnp.bincount(sorted_digits, length=m + 2)
+        cum = jnp.cumsum(counts)
+        starts = cum[:m].astype(jnp.int32)
+    else:
+        method = "sort" if cfg.segment_starts == "ss_sort" else "scan"
+        bvals = jnp.arange(1, m + 1, dtype=sorted_digits.dtype)
+        starts = jnp.searchsorted(sorted_digits, bvals, side="left",
+                                  method=method).astype(jnp.int32)
+    queries = jnp.concatenate([starts, jnp.full((1,), n, starts.dtype)])
+    nq = m + 1
+    q_pad = -(-nq // (4 * _PALLAS_MIN_WIDTH)) * (4 * _PALLAS_MIN_WIDTH) - nq
+    if q_pad:
+        queries = jnp.concatenate(
+            [queries, jnp.full((q_pad,), n, queries.dtype)])
+    is_zero = queries == 0
+    pos = jnp.maximum(queries, 1) - 1
+    lq = (pos // steps).astype(jnp.int32)
+    kq = (pos % steps).astype(jnp.int32)
+    loc48 = ys48[:, kq, lq]        # (48, Q) local prefix at each query
+    totals = ys48[:, -1, :]        # (48, lanes) per-lane window totals
+    return totals, loc48, lq, is_zero
+
+
+def _win_roll(a, wins: int, sh, axis_last_len: int):
+    """jnp.roll along the last axis WITHIN each of `wins` equal segments of
+    a (..., wins*axis_last_len) array (window-boundary-respecting roll)."""
+    shp = a.shape
+    b = a.reshape(shp[:-1] + (wins, axis_last_len))
+    b = jnp.roll(b, sh, axis=-1)
+    return b.reshape(shp)
+
+
+def _sides_batched(totals48, loc48, lq, is_zero, cfg: MsmConfig) -> ProjPoint:
+    """All windows' side stages as full-width batched ops. Inputs are the
+    stacked per-window smalls from _window_heavy: totals48 (W, 48, L),
+    loc48 (W, 48, Q), lq (W, Q), is_zero (W, Q). Returns (W, 16, 1) window
+    sums — bit-identical to the per-window path (same formulas, same
+    order; lanes never cross window boundaries)."""
+    w, _, lanes = totals48.shape
+    q = loc48.shape[-1]
+    m = cfg.buckets_per_window()
+    backend = cfg.backend
+    impl = "f15" if cfg.field_impl == "mxu" else cfg.field_impl
+    c = cfg.window_bits
+
+    # Inter-lane inclusive scan, all windows at once: rounds on (16, W*L)
+    # with window-local rolls.
+    flat = ProjPoint(totals48[:, 0:16], totals48[:, 16:32],
+                     totals48[:, 32:48])  # (W, 16, L)
+    t = ProjPoint(*(jnp.moveaxis(a, 1, 0).reshape(16, w * lanes)
+                    for a in flat))
+    lane_idx = jnp.tile(jnp.arange(lanes), w)
+
+    def level(i, tt):
+        sh = jnp.left_shift(jnp.int32(1), i)
+        rolled = ProjPoint(*(_win_roll(a, w, sh, lanes) for a in tt))
+        added = ec_add(tt, rolled, backend, impl)
+        return curve.select_point(lane_idx >= sh, added, tt)
+
+    inc = jax.lax.fori_loop(0, _ceil_log2(lanes), level, t)
+    carry = curve.select_point(
+        lane_idx >= 1,
+        ProjPoint(*(_win_roll(a, w, 1, lanes) for a in inc)),
+        curve.proj_infinity((w * lanes,)))  # exclusive inter-lane carries
+
+    # Lane-carry gather at the query lanes, per window, then ONE wide add.
+    car = ProjPoint(*(jnp.take_along_axis(
+        a.reshape(16, w, lanes), lq[None, :, :], axis=2).reshape(16, w * q)
+        for a in carry))
+    local = ProjPoint(
+        *(jnp.moveaxis(loc48[:, s], 1, 0).reshape(16, w * q)
+          for s in (slice(0, 16), slice(16, 32), slice(32, 48))))
+    xvals = ec_add(car, local, backend, impl)
+    xvals = curve.select_point(is_zero.reshape(-1),
+                               curve.proj_infinity((w * q,)), xvals)
+
+    xv = ProjPoint(*(a.reshape(16, w, q) for a in xvals))
+    x_n = ProjPoint(*(a[:, :, m] for a in xv))            # (16, W)
+    x_starts = ProjPoint(*(a[:, :, :m].reshape(16, w * m) for a in xv))
+
+    # Per-window EC reduction of the X(s_b) batch, all windows in one fused
+    # fold + one window-local rolled tree.
+    fanout = max(128, min(cfg.reduce_fanout, _FUSED_MAX_LANES // w))
+    pts = x_starts
+    if m > fanout:
+        # group within windows: (16, W, fanout, m/fanout) -> lanes W*fanout
+        grouped = ProjPoint(*(a.reshape(16, w, fanout, m // fanout)
+                              .reshape(16, w * fanout, m // fanout)
+                              for a in (b.reshape(16, w, m) for b in pts)))
+        lanes_f = w * fanout
+        steps_f = m // fanout
+        if _use_pallas(backend, lanes_f) and lanes_f <= _FUSED_MAX_LANES:
+            from tpu_msm.ops import pallas_curve as pc
+
+            rr = lanes_f // pc.LANE
+            arrs = [jnp.moveaxis(a, 2, 1).reshape(16, steps_f, rr, pc.LANE)
+                    for a in grouped]
+            res = pc.fold_add_packed(*arrs, impl=impl)
+            pts = ProjPoint(*(a.reshape(16, lanes_f) for a in res))
+        else:
+            def body(k, acc):
+                nxt = ProjPoint(*(a[:, :, k] for a in grouped))
+                return ec_add(acc, nxt, backend, impl)
+
+            pts = jax.lax.fori_loop(0, steps_f, body,
+                                    curve.proj_infinity((lanes_f,)))
+        width = fanout
+    else:
+        width = m
+
+    def rlevel(i, tt):
+        sh = jnp.left_shift(jnp.int32(1), i)
+        rolled = ProjPoint(*(_win_roll(a, w, -sh, width) for a in tt))
+        return ec_add(tt, rolled, backend, impl)
+
+    red = jax.lax.fori_loop(0, _ceil_log2(width), rlevel, pts)
+    sum_starts = ProjPoint(*(a.reshape(16, w, width)[:, :, 0] for a in red))
+
+    # window_sum = M * X(n) - sum_b X(s_b), the M-multiple batched over all
+    # windows at once (width W instead of per-window width 1).
+    if cfg.signed_digits:
+        mx = _mul_pow2(x_n, c - 1, backend)
+    else:
+        mx = _mul_all_ones(x_n, c, backend)
+    out = ec_add(mx, curve.proj_neg(sum_starts), backend)  # (16, W)
+    return ProjPoint(*(jnp.moveaxis(a, 1, 0)[:, :, None] for a in out))
+
+
+def _msm_window(digits_negm, px, py, n: int, cfg: MsmConfig) -> ProjPoint:
+    """Window sum for one window — the jnp/CPU fallback path (the fused
+    Pallas path runs _window_heavy per window + _sides_batched across
+    windows). Returns (16, 1).
 
     digits_negm: (digits, negm) — (n_pad,) this window's digits (padding
     positions carry the m+1 sentinel) and, in signed-digit mode, the
     (n_pad,) negation mask (else None). px, py: ((16, n+1), 2-tuple of
-    (16, n+1)) coordinates with an appended infinity column (jnp fallback
-    path; py = (y, P-y)). ppx, ppy: (8, n_pad) u16-pair-packed padded
-    coordinates (fused Pallas path; ppy = ((8,n_pad) y, (8,n_pad) P-y)),
-    or None.
+    (16, n+1)) coordinates with an appended infinity column (py = (y, P-y)).
     """
     digits, negm = digits_negm
-    # Side stages (lane scan, query adds, reductions) under "mxu" run the
-    # f15 kernels (see scan_kernel selection below): their per-window widths
-    # are too small for the matmul relayouts to pay off. "f15d" passes
-    # through — the side wrappers themselves fall back to single-stream f15
-    # below 16 sublanes per block.
     side_impl = "f15" if cfg.field_impl == "mxu" else cfg.field_impl
     c = cfg.window_bits
     m = cfg.buckets_per_window()
@@ -241,69 +400,31 @@ def _msm_window(digits_negm, px, py, ppx, ppy, n: int, cfg: MsmConfig) -> ProjPo
     lanes = cfg.scan_lanes
     steps = n_pad // lanes
     backend = cfg.backend
-    fused = _use_pallas(backend, lanes) and lanes <= _FUSED_MAX_LANES
 
     # Stage-2 analogue (the reference sorts (bucket, point_idx) pairs on the
-    # CPU and binary-searches segments, sort_buckets.rs:19-30). Gathers are
-    # per-index-rate-bound on TPU (~10 ns/element-row regardless of layout),
-    # so the fused path moves the coordinates THROUGH the sort as u16-packed
-    # payload: one 17-operand lax.sort (variadic sort cost is flat in
-    # operand count) instead of key+index sort plus two 64 MB gathers —
-    # ~2.5x faster stage time. (A 33-operand unpacked-payload sort is the
-    # wrong answer: it stalls the XLA:TPU compiler for >1 h at 2^17.)
-    if fused:
-        from tpu_msm.ops import pallas_curve as pc
-
-        r = lanes // pc.LANE
-        ppy_w = ppy[0] if negm is None else jnp.where(negm[None, :], ppy[1], ppy[0])
-        sorted_ops = jax.lax.sort(
-            [digits] + [ppx[i] for i in range(8)] + [ppy_w[i] for i in range(8)],
-            num_keys=1)
-        sorted_digits = sorted_ops[0]
-        # Lane l scans sorted positions [l*steps, (l+1)*steps): reshape
-        # (8, lanes, steps) then transpose to step-leading for the kernel.
-        sgx = jnp.moveaxis(jnp.stack(sorted_ops[1:9]).reshape(8, lanes, steps),
-                           1, 2).reshape(8, steps, r, pc.LANE)
-        sgy = jnp.moveaxis(jnp.stack(sorted_ops[9:17]).reshape(8, lanes, steps),
-                           1, 2).reshape(8, steps, r, pc.LANE)
-        # Whole scan as ONE pallas_call: accumulator in VMEM scratch across
-        # all steps; ys48 rows 0:16/16:32/32:48 are X/Y/Z prefix sums.
-        # "mxu" applies to the scan kernel only (81% of the op count); the
-        # narrow side stages (lane scan, queries, reductions) run the f15
-        # kernels — their per-window widths are too small for the matmul
-        # relayouts to pay off.
-        scan_kernel = {"f15": pc.scan_madd_packed_u16_f15,
-                       "f15d": functools.partial(
-                           pc.scan_madd_packed_u16_f15d,
-                           step_batch=cfg.scan_step_batch),
-                       "mxu": pc.scan_madd_packed_u16_mxu}.get(
-                           cfg.field_impl, pc.scan_madd_packed_u16)
-        ys48 = scan_kernel(sgx, sgy).reshape(48, steps, lanes)
-        ys = ProjPoint(ys48[0:16], ys48[16:32], ys48[32:48])
+    # CPU and binary-searches segments, sort_buckets.rs:19-30).
+    if negm is None:
+        py_w = py[0]
     else:
-        if negm is None:
-            py_w = py[0]
-        else:
-            negm_cols = jnp.concatenate(
-                [negm[:n], jnp.zeros((1,), bool)])  # infinity column: plain
-            py_w = jnp.where(negm_cols[None, :], py[1], py[0])
-        idx0 = jnp.arange(n_pad, dtype=jnp.int32)
-        idx0 = jnp.where(idx0 >= n, n, idx0)  # pads hit the infinity column
-        sorted_digits, sorted_idx = jax.lax.sort_key_val(digits, idx0)
-        perm = jnp.moveaxis(sorted_idx.reshape(lanes, steps), 1, 0).reshape(-1)
-        gx = jnp.take(px, perm, axis=1).reshape(bn254.LIMBS, steps, lanes)
-        gy = jnp.take(py_w, perm, axis=1).reshape(bn254.LIMBS, steps, lanes)
+        negm_cols = jnp.concatenate(
+            [negm[:n], jnp.zeros((1,), bool)])  # infinity column: plain
+        py_w = jnp.where(negm_cols[None, :], py[1], py[0])
+    idx0 = jnp.arange(n_pad, dtype=jnp.int32)
+    idx0 = jnp.where(idx0 >= n, n, idx0)  # pads hit the infinity column
+    sorted_digits, sorted_idx = jax.lax.sort_key_val(digits, idx0)
+    perm = jnp.moveaxis(sorted_idx.reshape(lanes, steps), 1, 0).reshape(-1)
+    gx = jnp.take(px, perm, axis=1).reshape(bn254.LIMBS, steps, lanes)
+    gy = jnp.take(py_w, perm, axis=1).reshape(bn254.LIMBS, steps, lanes)
 
-        def step(acc, pt_xy):
-            sx, sy = pt_xy
-            acc = ec_madd(acc, AffinePoint(sx, sy), backend)
-            return acc, acc
+    def step(acc, pt_xy):
+        sx, sy = pt_xy
+        acc = ec_madd(acc, AffinePoint(sx, sy), backend)
+        return acc, acc
 
-        _, ys_s = jax.lax.scan(
-            step, curve.proj_infinity((lanes,)),
-            (jnp.moveaxis(gx, 1, 0), jnp.moveaxis(gy, 1, 0)))
-        ys = ProjPoint(*(jnp.moveaxis(a, 0, 1) for a in ys_s))
-        ys48 = None
+    _, ys_s = jax.lax.scan(
+        step, curve.proj_infinity((lanes,)),
+        (jnp.moveaxis(gx, 1, 0), jnp.moveaxis(gy, 1, 0)))
+    ys = ProjPoint(*(jnp.moveaxis(a, 0, 1) for a in ys_s))
     # ys: ProjPoint of (16, steps, lanes) — per-lane inclusive local scans.
 
     totals = ProjPoint(*(a[:, -1] for a in ys))
@@ -318,10 +439,7 @@ def _msm_window(digits_negm, px, py, ppx, ppy, n: int, cfg: MsmConfig) -> ProjPo
     # Bucket segment starts: s_b = #\{i : sorted_digits[i] < b\} for b = 1..M
     # (the reference binary-searches per threadgroup, msm.h.metal:119-131).
     # Digit value m+1 is the padding sentinel; it sorts last and is counted
-    # by no query. Three exact strategies, selected by cfg (autotuned):
-    # histogram+cumsum (scatter-add), or vectorized binary search over the
-    # already-sorted digits (searchsorted; 'scan' = log2(n) gather rounds,
-    # 'sort' = one extra keys-only sort).
+    # by no query. Three exact strategies, selected by cfg (autotuned).
     if cfg.segment_starts == "bincount":
         counts = jnp.bincount(sorted_digits, length=m + 2)
         cum = jnp.cumsum(counts)
@@ -334,36 +452,12 @@ def _msm_window(digits_negm, px, py, ppx, ppy, n: int, cfg: MsmConfig) -> ProjPo
     queries = jnp.concatenate(
         [starts, jnp.full((1,), n, starts.dtype)])  # s_1..s_M, n
 
-    # Pad the query batch up to a Pallas-friendly width so the wide ec_add
-    # below runs the fused kernel, not the spill-heavy jnp path — m+1 =
-    # 2^(c-1)+1 in signed mode is 1 over the boundary. Pad to a multiple of
-    # 4096 (not 1024): the kernel block picker (_pick_sub) wants the
-    # largest power-of-two sublane divisor, and 33792/128 = 264 = 8*33
-    # capped blocks at 8 sublanes — too narrow for the dual-stream (f15d)
-    # kernels and 4x the grid steps. Any multiple of 4096 gives r % 32 == 0.
-    # Padding queries repeat position n and are sliced off after the add.
-    nq = m + 1
-    _QPAD = 4 * _PALLAS_MIN_WIDTH
-    if _use_pallas(backend, -(-nq // _QPAD) * _QPAD):
-        q_pad = -(-nq // _QPAD) * _QPAD - nq
-        if q_pad:
-            queries = jnp.concatenate(
-                [queries, jnp.full((q_pad,), n, queries.dtype)])
-
     is_zero = queries == 0
     pos = jnp.maximum(queries, 1) - 1
     lq = (pos // steps).astype(jnp.int32)
     kq = (pos % steps).astype(jnp.int32)
-    if fused:
-        # One 48-row gather for all three coordinates (gather fixed costs
-        # dominate at this query count), ditto for the lane carries.
-        loc48 = ys48[:, kq, lq]  # (48, M+1)
-        local = ProjPoint(loc48[0:16], loc48[16:32], loc48[32:48])
-        car48 = jnp.concatenate(list(carry), axis=0)[:, lq]
-        lane_carry = ProjPoint(car48[0:16], car48[16:32], car48[32:48])
-    else:
-        local = ProjPoint(*(a[:, kq, lq] for a in ys))  # (16, M+1)
-        lane_carry = ProjPoint(*(a[:, lq] for a in carry))
+    local = ProjPoint(*(a[:, kq, lq] for a in ys))  # (16, M+1)
+    lane_carry = ProjPoint(*(a[:, lq] for a in carry))
     xvals = ec_add(lane_carry, local, backend, side_impl)
     xvals = curve.select_point(is_zero,
                                curve.proj_infinity((queries.shape[0],)), xvals)
@@ -451,8 +545,19 @@ def window_sums(points: AffinePoint, scalar_limbs, cfg: MsmConfig) -> ProjPoint:
     else:
         ppx = ppy = None
 
-    window_fn = functools.partial(_msm_window, px=px, py=py, ppx=ppx, ppy=ppy,
-                                  n=n, cfg=cfg)
+    if ppx is not None:
+        # Fused path: heavy per-window stages inside the loop (their big
+        # arrays die per window), cheap tails batched over ALL windows
+        # (16x wider ops, 16x fewer dispatches — see _sides_batched).
+        heavy = functools.partial(_window_heavy, ppx=ppx, ppy=ppy, n=n,
+                                  cfg=cfg)
+        if negm is None:
+            smalls = jax.lax.map(lambda d: heavy((d, None)), digits)
+        else:
+            smalls = jax.lax.map(heavy, (digits, negm))
+        return _sides_batched(*smalls, cfg=cfg)
+
+    window_fn = functools.partial(_msm_window, px=px, py=py, n=n, cfg=cfg)
     # batch_size > 1 vmaps the window body over groups of windows (cross-
     # window overlap at the cost of k-times the stage working set); lax.map
     # requires the batch to divide the window count, so fall back when not.
