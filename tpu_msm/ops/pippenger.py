@@ -332,11 +332,23 @@ def _sides_batched(totals48, loc48, lq, is_zero, cfg: MsmConfig) -> ProjPoint:
 
     xv = ProjPoint(*(a.reshape(16, w, q) for a in xvals))
     x_n = ProjPoint(*(a[:, :, m] for a in xv))            # (16, W)
-    x_starts = ProjPoint(*(a[:, :, :m].reshape(16, w * m) for a in xv))
+    # Pad each window's X(s_b) batch to a power of two with infinities
+    # (unsigned mode has m = 2^c - 1; ec_reduce did this internally on the
+    # per-window path).
+    m_pad = 1 << _ceil_log2(max(m, 1))
+    x_starts = ProjPoint(*(a[:, :, :m] for a in xv))      # (16, W, m)
+    if m_pad != m:
+        inf = curve.proj_infinity((w, m_pad - m))
+        x_starts = ProjPoint(*(jnp.concatenate([a, i], axis=-1)
+                               for a, i in zip(x_starts, inf)))
+    m = m_pad
+    x_starts = ProjPoint(*(a.reshape(16, w * m) for a in x_starts))
 
     # Per-window EC reduction of the X(s_b) batch, all windows in one fused
     # fold + one window-local rolled tree.
     fanout = max(128, min(cfg.reduce_fanout, _FUSED_MAX_LANES // w))
+    fanout = 1 << (fanout.bit_length() - 1)  # window-local rolled tree
+    # and the m//fanout grouping both require a power of two
     pts = x_starts
     if m > fanout:
         # group within windows: (16, W, fanout, m/fanout) -> lanes W*fanout
