@@ -99,7 +99,7 @@ def test_window_sum_vs_bucket_oracle(rng, c, n, lanes, signed):
     assert exp == oracle.msm(scalars, points)
 
 
-@pytest.mark.parametrize("impl", ["ss_scan", "ss_sort"])
+@pytest.mark.parametrize("impl", ["ss_scan", "ss_sort", "ss_2level"])
 def test_segment_starts_strategies_match(rng, impl):
     """All three segment-start strategies (bincount / searchsorted scan /
     searchsorted sort) must give bit-identical MSM results — they locate the
@@ -222,3 +222,28 @@ def test_msm_determinism(rng):
 
 def test_select_config():
     assert select_config(16).scan_lanes <= 8
+
+
+@pytest.mark.device
+def test_segment_starts_2level_exact(rng):
+    """_segment_starts('ss_2level') vs numpy on adversarial sorted arrays:
+    empty buckets, all-one-digit, long runs crossing the 64-stride sample
+    boundaries, and the m+1 padding sentinel."""
+    import dataclasses
+
+    m = 128
+    cfg = MsmConfig(window_bits=8, signed_digits=False,
+                    segment_starts="ss_2level")
+    cases = [
+        np.sort(rng.randint(0, m + 2, 1024)),
+        np.zeros(1024, np.int64),                       # all digit 0
+        np.full(1024, m, np.int64),                     # all digit m
+        np.sort(np.repeat(rng.randint(0, m + 2, 16), 64)),  # 64-runs
+        np.concatenate([np.zeros(1000, np.int64),
+                        np.full(24, m + 1, np.int64)]),  # sentinel tail
+    ]
+    for d in cases:
+        d32 = jnp.asarray(d.astype(np.uint32))
+        got = np.asarray(pippenger._segment_starts(d32, m, cfg))
+        want = np.searchsorted(d, np.arange(1, m + 1), side="left")
+        assert (got == want).all()

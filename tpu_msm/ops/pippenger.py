@@ -217,6 +217,40 @@ def ec_reduce(pts: ProjPoint, fanout: int = 256, backend: str = "jnp",
     return _roll_reduce(pts, b, backend, impl)
 
 
+def _segment_starts(sorted_digits, m: int, cfg: MsmConfig):
+    """Exact bucket segment starts s_b = #{i: sorted_digits[i] < b} for
+    b = 1..m, by the cfg-selected strategy (all exact; autotuned):
+    histogram+cumsum ('bincount'), vectorized binary search ('ss_scan' /
+    'ss_sort' — jnp.searchsorted method scan/sort), or a two-level search
+    ('ss_2level'): level 1 binary-searches a stride-64 sample (log2(n/64)
+    gather rounds over a 64x smaller array — plain ss_scan's full-array
+    rounds measured ~10 ms/window at 2^20, docs/PERF_NOTES.md), level 2
+    gathers each query's 64-wide candidate block once and counts < b
+    vectorized; exact because samples[j-1] < b <= samples[j] brackets s_b
+    into ((j-1)*64, j*64] on a sorted array."""
+    if cfg.segment_starts == "bincount":
+        counts = jnp.bincount(sorted_digits, length=m + 2)
+        cum = jnp.cumsum(counts)
+        return cum[:m].astype(jnp.int32)
+    if cfg.segment_starts == "ss_2level":
+        stride = 64
+        if sorted_digits.shape[0] % stride == 0:
+            samples = sorted_digits[::stride]
+            bvals = jnp.arange(1, m + 1, dtype=sorted_digits.dtype)
+            j = jnp.searchsorted(samples, bvals, side="left",
+                                 method="scan").astype(jnp.int32)
+            lo = jnp.maximum(j * stride - stride, 0)
+            idx = lo[:, None] + jnp.arange(stride, dtype=jnp.int32)[None, :]
+            block = sorted_digits[idx]                  # (m, 64) gather
+            cnt = jnp.sum((block < bvals[:, None]).astype(jnp.int32), axis=1)
+            return lo + cnt
+        # n not stride-aligned (tiny inputs): plain scan search is exact
+    method = "sort" if cfg.segment_starts == "ss_sort" else "scan"
+    bvals = jnp.arange(1, m + 1, dtype=sorted_digits.dtype)
+    return jnp.searchsorted(sorted_digits, bvals, side="left",
+                            method=method).astype(jnp.int32)
+
+
 def _window_heavy(digits_negm, ppx, ppy, n: int, cfg: MsmConfig):
     """Per-window HEAVY stages of the fused path: 17-operand payload sort,
     whole-window fused scan, segment starts, and the two big-array reads
@@ -253,15 +287,7 @@ def _window_heavy(digits_negm, ppx, ppy, n: int, cfg: MsmConfig):
                        cfg.field_impl, pc.scan_madd_packed_u16)
     ys48 = scan_kernel(sgx, sgy).reshape(48, steps, lanes)
 
-    if cfg.segment_starts == "bincount":
-        counts = jnp.bincount(sorted_digits, length=m + 2)
-        cum = jnp.cumsum(counts)
-        starts = cum[:m].astype(jnp.int32)
-    else:
-        method = "sort" if cfg.segment_starts == "ss_sort" else "scan"
-        bvals = jnp.arange(1, m + 1, dtype=sorted_digits.dtype)
-        starts = jnp.searchsorted(sorted_digits, bvals, side="left",
-                                  method=method).astype(jnp.int32)
+    starts = _segment_starts(sorted_digits, m, cfg)
     queries = jnp.concatenate([starts, jnp.full((1,), n, starts.dtype)])
     nq = m + 1
     q_pad = -(-nq // (4 * _PALLAS_MIN_WIDTH)) * (4 * _PALLAS_MIN_WIDTH) - nq
@@ -451,16 +477,8 @@ def _msm_window(digits_negm, px, py, n: int, cfg: MsmConfig) -> ProjPoint:
     # Bucket segment starts: s_b = #\{i : sorted_digits[i] < b\} for b = 1..M
     # (the reference binary-searches per threadgroup, msm.h.metal:119-131).
     # Digit value m+1 is the padding sentinel; it sorts last and is counted
-    # by no query. Three exact strategies, selected by cfg (autotuned).
-    if cfg.segment_starts == "bincount":
-        counts = jnp.bincount(sorted_digits, length=m + 2)
-        cum = jnp.cumsum(counts)
-        starts = cum[:m].astype(jnp.int32)
-    else:
-        method = "sort" if cfg.segment_starts == "ss_sort" else "scan"
-        bvals = jnp.arange(1, m + 1, dtype=sorted_digits.dtype)
-        starts = jnp.searchsorted(sorted_digits, bvals, side="left",
-                                  method=method).astype(jnp.int32)
+    # by no query.
+    starts = _segment_starts(sorted_digits, m, cfg)
     queries = jnp.concatenate(
         [starts, jnp.full((1,), n, starts.dtype)])  # s_1..s_M, n
 
