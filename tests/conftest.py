@@ -92,8 +92,25 @@ def pytest_collection_modifyitems(config, items):
     skip_device = pytest.mark.skip(
         reason="needs accelerator backend (or TPU_MSM_RUN_DEVICE=1): "
                "XLA:CPU compiles are minutes-long on this host class")
+    skipped_device = 0
     for item in items:
         if "slow" in item.keywords and not run_slow:
             item.add_marker(skip_slow)
         if "device" in item.keywords and not RUN_DEVICE:
             item.add_marker(skip_device)
+            skipped_device += 1
+    config._tpu_msm_skipped_device = skipped_device
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    """A green default run exercises no device/pipeline graphs — say so
+    loudly so nobody mistakes the bounded host tier for full coverage
+    (ADVICE r4: the opt-in env was silent)."""
+    n = getattr(config, "_tpu_msm_skipped_device", 0)
+    if n:
+        terminalreporter.write_line(
+            f"tpu_msm: {n} device-tier tests SKIPPED (host tier only). "
+            "Set TPU_MSM_RUN_DEVICE=1 (and TPU_MSM_RUN_SLOW=1) to run the "
+            "pipeline graphs on the accelerator — on a tunneled TPU each "
+            "fresh graph costs ~12-15 min of server-side compile.",
+            yellow=True)

@@ -99,11 +99,12 @@ def test_window_sum_vs_bucket_oracle(rng, c, n, lanes, signed):
     assert exp == oracle.msm(scalars, points)
 
 
-@pytest.mark.parametrize("impl", ["ss_scan", "ss_sort", "ss_2level"])
+@pytest.mark.parametrize("impl", ["ss_scan", "ss_sort", "ss_2level", "hist"])
 def test_segment_starts_strategies_match(rng, impl):
-    """All three segment-start strategies (bincount / searchsorted scan /
-    searchsorted sort) must give bit-identical MSM results — they locate the
-    same s_b positions in the sorted digit array."""
+    """All segment-start strategies (bincount / searchsorted scan /
+    searchsorted sort / two-level / MXU histogram) must give bit-identical
+    MSM results — they locate the same s_b positions in the sorted digit
+    array."""
     n, c, lanes = 37, 4, 8
     scalars = _rand_scalars(rng, n) + [0, 0]  # zero digits exercise s_1 > 0
     points = _gen_points([int(rng.randint(1, 1 << 20)) for _ in range(n + 2)])
@@ -114,6 +115,26 @@ def test_segment_starts_strategies_match(rng, impl):
     base = f(pts, slimbs, MsmConfig(window_bits=c, scan_lanes=lanes))
     alt = f(pts, slimbs,
             MsmConfig(window_bits=c, scan_lanes=lanes, segment_starts=impl))
+    for a, b in zip(base, alt):
+        assert (np.asarray(a) == np.asarray(b)).all()
+
+
+def test_sort_impl_rank_matches(rng):
+    """sort_impl="rank" (2-operand sort + row gather) must give bit-identical
+    MSM results to the payload sort. On the jnp fallback path the knob is a
+    no-op (that path already rank-sorts); the fused-path equivalence runs on
+    the accelerator (plus the data-level check in tests/test_hist.py)."""
+    n, c, lanes = 41, 4, 8
+    scalars = _rand_scalars(rng, n)
+    points = _gen_points([int(rng.randint(1, 1 << 20)) for _ in range(n)])
+    x, y = interop.affine_points_to_limbs(points)
+    slimbs = jnp.asarray(interop.ints_to_limbs(scalars))
+    pts = curve.AffinePoint(jnp.asarray(x), jnp.asarray(y))
+    f = jax.jit(pippenger.msm_projective, static_argnums=2)
+    base = f(pts, slimbs, MsmConfig(window_bits=c, scan_lanes=lanes,
+                                    signed_digits=True))
+    alt = f(pts, slimbs, MsmConfig(window_bits=c, scan_lanes=lanes,
+                                   signed_digits=True, sort_impl="rank"))
     for a, b in zip(base, alt):
         assert (np.asarray(a) == np.asarray(b)).all()
 

@@ -810,7 +810,7 @@ def scan_madd_packed_u16_f15d(gx, gy, interpret: bool = False,
     _, steps, r, _ = gx.shape
     if r < 16:
         return scan_madd_packed_u16_f15(gx, gy, interpret=interpret)
-    k = step_batch if steps % max(step_batch, 1) == 0 else 1
+    k = step_batch if step_batch >= 1 and steps % step_batch == 0 else 1
     out_shape = jax.ShapeDtypeStruct((3 * NROWS, steps, r, LANE), jnp.uint32)
     in_spec = pl.BlockSpec((8, k, r, LANE), lambda i: (0, i, 0, 0),
                            memory_space=pltpu.VMEM)

@@ -221,13 +221,22 @@ def _segment_starts(sorted_digits, m: int, cfg: MsmConfig):
     """Exact bucket segment starts s_b = #{i: sorted_digits[i] < b} for
     b = 1..m, by the cfg-selected strategy (all exact; autotuned):
     histogram+cumsum ('bincount'), vectorized binary search ('ss_scan' /
-    'ss_sort' — jnp.searchsorted method scan/sort), or a two-level search
+    'ss_sort' — jnp.searchsorted method scan/sort), a two-level search
     ('ss_2level'): level 1 binary-searches a stride-64 sample (log2(n/64)
     gather rounds over a 64x smaller array — plain ss_scan's full-array
     rounds measured ~10 ms/window at 2^20, docs/PERF_NOTES.md), level 2
     gathers each query's 64-wide candidate block once and counts < b
     vectorized; exact because samples[j-1] < b <= samples[j] brackets s_b
-    into ((j-1)*64, j*64] on a sorted array."""
+    into ((j-1)*64, j*64] on a sorted array; or the MXU histogram ('hist',
+    ops/hist.py — one-hot matmul + cumsum, zero gathers/scatters; the only
+    strategy that does NOT need the digits sorted)."""
+    if cfg.segment_starts == "hist":
+        from tpu_msm.ops import hist
+
+        if (cfg.backend == "pallas"
+                and sorted_digits.shape[0] % hist.CHUNK == 0):
+            return hist.segment_starts_hist_pallas(sorted_digits, m)
+        return hist.segment_starts_hist(sorted_digits, m)
     if cfg.segment_starts == "bincount":
         counts = jnp.bincount(sorted_digits, length=m + 2)
         cum = jnp.cumsum(counts)
@@ -251,6 +260,44 @@ def _segment_starts(sorted_digits, m: int, cfg: MsmConfig):
                             method=method).astype(jnp.int32)
 
 
+def _sorted_scan_inputs(digits, ppx, ppy_w, lanes: int, steps: int,
+                        sort_impl: str):
+    """Digit-sort the u16-packed coordinates into the scan kernel's
+    (8, steps, r, LANE) layout. Two strategies, identical results (both
+    sorts are stable on the same key, so the permutation is the same):
+
+    * "payload": ONE 17-operand lax.sort carrying digits + both packed
+      coordinate sets through the comparator network (no gathers).
+    * "rank": 2-operand (digit, position) sort_key_val + ONE
+      embedding-style row gather of the point-major (n, 16) coordinate
+      array + layout transposes. 8.5x less data through the comparator
+      network; pays one gather of 64 B rows instead.
+
+    Returns (sorted_digits, sgx, sgy)."""
+    from tpu_msm.ops import pallas_curve as pc
+
+    n_pad = digits.shape[0]
+    r = lanes // pc.LANE
+    if sort_impl == "rank":
+        idx0 = jnp.arange(n_pad, dtype=jnp.int32)
+        sorted_digits, sorted_idx = jax.lax.sort_key_val(digits, idx0)
+        rows_t = jnp.concatenate([ppx, ppy_w], axis=0).T      # (n_pad, 16)
+        g = jnp.take(rows_t, sorted_idx, axis=0).T            # (16, n_pad)
+        gt = g.reshape(16, lanes, steps)
+        sgx = jnp.moveaxis(gt[:8], 1, 2).reshape(8, steps, r, pc.LANE)
+        sgy = jnp.moveaxis(gt[8:], 1, 2).reshape(8, steps, r, pc.LANE)
+        return sorted_digits, sgx, sgy
+    sorted_ops = jax.lax.sort(
+        [digits] + [ppx[i] for i in range(8)] + [ppy_w[i] for i in range(8)],
+        num_keys=1)
+    sorted_digits = sorted_ops[0]
+    sgx = jnp.moveaxis(jnp.stack(sorted_ops[1:9]).reshape(8, lanes, steps),
+                       1, 2).reshape(8, steps, r, pc.LANE)
+    sgy = jnp.moveaxis(jnp.stack(sorted_ops[9:17]).reshape(8, lanes, steps),
+                       1, 2).reshape(8, steps, r, pc.LANE)
+    return sorted_digits, sgx, sgy
+
+
 def _window_heavy(digits_negm, ppx, ppy, n: int, cfg: MsmConfig):
     """Per-window HEAVY stages of the fused path: 17-operand payload sort,
     whole-window fused scan, segment starts, and the two big-array reads
@@ -268,17 +315,10 @@ def _window_heavy(digits_negm, ppx, ppy, n: int, cfg: MsmConfig):
     n_pad = digits.shape[0]
     lanes = cfg.scan_lanes
     steps = n_pad // lanes
-    r = lanes // pc.LANE
 
     ppy_w = ppy[0] if negm is None else jnp.where(negm[None, :], ppy[1], ppy[0])
-    sorted_ops = jax.lax.sort(
-        [digits] + [ppx[i] for i in range(8)] + [ppy_w[i] for i in range(8)],
-        num_keys=1)
-    sorted_digits = sorted_ops[0]
-    sgx = jnp.moveaxis(jnp.stack(sorted_ops[1:9]).reshape(8, lanes, steps),
-                       1, 2).reshape(8, steps, r, pc.LANE)
-    sgy = jnp.moveaxis(jnp.stack(sorted_ops[9:17]).reshape(8, lanes, steps),
-                       1, 2).reshape(8, steps, r, pc.LANE)
+    sorted_digits, sgx, sgy = _sorted_scan_inputs(
+        digits, ppx, ppy_w, lanes, steps, cfg.sort_impl)
     scan_kernel = {"f15": pc.scan_madd_packed_u16_f15,
                    "f15d": functools.partial(
                        pc.scan_madd_packed_u16_f15d,
@@ -287,7 +327,10 @@ def _window_heavy(digits_negm, ppx, ppy, n: int, cfg: MsmConfig):
                        cfg.field_impl, pc.scan_madd_packed_u16)
     ys48 = scan_kernel(sgx, sgy).reshape(48, steps, lanes)
 
-    starts = _segment_starts(sorted_digits, m, cfg)
+    # 'hist' is order-free: feed the UNSORTED digits so the starts
+    # computation has no data dependency on the sort at all.
+    starts = _segment_starts(
+        digits if cfg.segment_starts == "hist" else sorted_digits, m, cfg)
     queries = jnp.concatenate([starts, jnp.full((1,), n, starts.dtype)])
     nq = m + 1
     q_pad = -(-nq // (4 * _PALLAS_MIN_WIDTH)) * (4 * _PALLAS_MIN_WIDTH) - nq
@@ -316,8 +359,11 @@ def _sides_batched(totals48, loc48, lq, is_zero, cfg: MsmConfig) -> ProjPoint:
     """All windows' side stages as full-width batched ops. Inputs are the
     stacked per-window smalls from _window_heavy: totals48 (W, 48, L),
     loc48 (W, 48, Q), lq (W, Q), is_zero (W, Q). Returns (W, 16, 1) window
-    sums — bit-identical to the per-window path (same formulas, same
-    order; lanes never cross window boundaries)."""
+    sums — projectively equal to the per-window path (same point; the
+    fanout clamp `_FUSED_MAX_LANES // w` below can change the EC-add
+    association vs ec_reduce, so coordinates are not bitwise identical —
+    test_sides_batched checks proj_eq). Lanes never cross window
+    boundaries."""
     w, _, lanes = totals48.shape
     q = loc48.shape[-1]
     m = cfg.buckets_per_window()

@@ -40,7 +40,7 @@ DEFAULT_SPACE = {
 
 _KNOBS = ("window_bits", "scan_lanes", "reduce_fanout", "signed_digits",
           "field_impl", "segment_starts", "window_batch", "glv",
-          "scan_step_batch")
+          "scan_step_batch", "sort_impl")
 
 
 def _platform() -> str:

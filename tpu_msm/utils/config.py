@@ -64,10 +64,25 @@ class MsmConfig:
     #   "bincount"  — histogram (scatter-add) + exclusive cumsum
     #   "ss_scan"   — vectorized binary search (jnp.searchsorted, 'scan')
     #   "ss_sort"   — searchsorted via one extra keys-only sort ('sort')
-    # All three are exact (the reference binary-searches per threadgroup,
+    #   "ss_2level" — two-level search (measured rejection, kept in-tree)
+    #   "hist"      — MXU histogram (one-hot matmul) + cumsum: zero gathers,
+    #                 zero scatters, order-free so it runs off the sort's
+    #                 critical path (ops/hist.py; the r5 default on TPU)
+    # All are exact (the reference binary-searches per threadgroup,
     # msm.h.metal:119-131); which is fastest on TPU depends on how XLA
-    # lowers scatter vs gather-loop vs sort — an autotune decision.
+    # lowers scatter vs gather-loop vs sort vs dot — an autotune decision.
     segment_starts: str = "bincount"
+
+    # How points reach digit-sorted order for the scan stage:
+    #   "payload" — ONE 17-operand lax.sort carrying digits + both packed
+    #               coordinates (no gathers; the r2-r4 production path)
+    #   "rank"    — 2-operand (digit, position) sort + one row-major gather
+    #               of the (n, 16)-packed coordinates. Moves 2 operands
+    #               through the comparator network instead of 17 at the cost
+    #               of one embedding-style row gather + a layout transpose;
+    #               the payload sort measured superlinear per operand at
+    #               2^22 (~2.7 ms/operand, artifacts/sort_probe.log).
+    sort_impl: str = "payload"
 
     # Limb representation inside the fused scan kernel: "u16" (16x16-bit
     # rows), "f15" (17x15-bit rows — grouped raw product accumulation,
@@ -97,6 +112,16 @@ class MsmConfig:
     # decomposition bound analysis assumes canonical scalars < r). Bit-exact
     # (tests/test_glv.py); the reference has no analogue.
     glv: bool = False
+
+    def __post_init__(self):
+        if self.scan_step_batch < 1:
+            raise ValueError(
+                f"scan_step_batch must be >= 1, got {self.scan_step_batch}")
+        if self.segment_starts not in ("bincount", "ss_scan", "ss_sort",
+                                       "ss_2level", "hist"):
+            raise ValueError(f"unknown segment_starts {self.segment_starts!r}")
+        if self.sort_impl not in ("payload", "rank"):
+            raise ValueError(f"unknown sort_impl {self.sort_impl!r}")
 
     def num_windows(self) -> int:
         bits = self.scalar_bits + (1 if self.signed_digits else 0)
@@ -141,7 +166,8 @@ def select_config(n: int) -> MsmConfig:
                                                   "bincount"),
                          window_batch=tuned.get("window_batch", 1),
                          glv=tuned.get("glv", False),
-                         scan_step_batch=tuned.get("scan_step_batch", 1))
+                         scan_step_batch=tuned.get("scan_step_batch", 1),
+                         sort_impl=tuned.get("sort_impl", "payload"))
     if n < (1 << 17):
         c = 8
         signed = False

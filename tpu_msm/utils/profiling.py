@@ -123,7 +123,13 @@ VPU_U32_OPS_PER_S = 2 * 8 * 128 * 940e6
 # "mxu": the f15 core with REDC's two constant convolutions moved to the
 # MXU as int8 matmuls (ops/fmxu.py) — only the a·b convolution (~780 ops),
 # piece splits, column recombines and ripples remain on the VPU.
-MONT_MUL_U32_OPS = {"u16": 3600, "f15": 2450, "mxu": 1300}
+# "f15" / "f15c": COUNTED by tracing the jaxpr of f15.mont_mul_conv /
+# f15.mont_mul_cios and summing elementwise primitives (2560 / 2056 eqns;
+# r5 — the prior 2450 estimate for f15 was close). With the counted CIOS
+# model, the measured dual-chain 809.2 M mul/s (montmul_f15c_ilp2.log) is
+# 0.86x of the 936 M/s dual-issue peak (1.16x off) — the "0.97x" cited in
+# round 4 was measured against the easier conv-REDC op count.
+MONT_MUL_U32_OPS = {"u16": 3600, "f15": 2560, "f15c": 2056, "mxu": 1300}
 # RCB mixed addition: 11 Montgomery muls + 2 mul-by-9 chains + ~12 mod-adds.
 MADD_MONT_MULS = 11
 # RCB complete projective-projective addition (a=0, Alg 7): 12 muls.
