@@ -39,6 +39,14 @@ import jax  # noqa: E402
 
 if os.environ.get("TPU_MSM_TEST_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["TPU_MSM_TEST_PLATFORM"])
+elif not os.environ.get("TPU_MSM_RUN_DEVICE"):
+    # Host tier (no device tests selected): force the CPU backend so the
+    # run never initializes the axon/TPU tunnel. Measured on a tunneled
+    # host (r4 judge run): the default tier took 19.5 min for 44 host-only
+    # tests — backend init + remote dispatch overheads on graphs that never
+    # needed the device. The sharding tests use jax.devices("cpu") either
+    # way (the 8 virtual devices above). TPU_MSM_TEST_PLATFORM overrides.
+    jax.config.update("jax_platforms", "cpu")
 
 # Tier policy. Measured facts on this host class (1 CPU core): one XLA:CPU
 # compile of even the SMALLEST pipeline graph is ~60 s at -O0 (the n=64

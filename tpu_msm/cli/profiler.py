@@ -324,6 +324,19 @@ def check_kernels() -> int:
            ProjPoint(*(a.reshape(bn254.LIMBS, lanes) for a in (fx, fy, fz))),
            acc, curve.proj_eq)
 
+    # MXU histogram segment starts (ops/hist.py): fused one-hot + dot kernel
+    # must match a numpy cumulative histogram exactly.
+    from tpu_msm.ops import hist
+
+    m = 1 << 15
+    dig = rng.randint(0, m + 2, size=hist.CHUNK * 8).astype(np.uint32)
+    want = np.searchsorted(np.sort(dig), np.arange(1, m + 1), side="left")
+    got = np.asarray(hist.segment_starts_hist_pallas(jnp.asarray(dig), m))
+    ok = bool((got == want).all())
+    log.info("kernel %-18s %s", "digit_hist", "OK" if ok else "MISMATCH")
+    if not ok:
+        failures.append("digit_hist")
+
     if failures:
         log.error("kernel check FAILED: %s", ", ".join(failures))
         return 1
