@@ -27,6 +27,9 @@ import socket
 import subprocess
 import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -16,6 +16,11 @@ from __future__ import annotations
 import argparse
 import time
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import numpy as np
 
 from tpu_msm.utils.config import enable_persistent_cache

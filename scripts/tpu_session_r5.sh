@@ -33,5 +33,10 @@ step tune_r5_22        7200 python scripts/tune_r5.py 22
 step bench_log22_r5    3600 python bench.py --log-size 22
 step bench_log24_r5    5400 python bench.py --log-size 24
 step bench_log16_r5    3600 python bench.py --log-size 16
+# CPU_THRESHOLD re-derivation under the r5 tuned table (VERDICT next #5).
+step crossover_r5      5400 python scripts/crossover.py
+# Loopback-DCN collective latency (VERDICT next #6) — CPU-only, needs the
+# quiet host this serialized session guarantees.
+step collective_dcn    3600 python scripts/collective_dcn.py
 
 echo "=== session done ==="
