@@ -77,8 +77,8 @@ def segment_starts_hist(digits, m: int):
 def _hist_kernel(dr_ref, dc_ref, o_ref, acc):
     """One grid step: histogram CHUNK digits into the (H, 256) accumulator.
 
-    dr_ref: (1, CHUNK) digits (row layout, feeds the hi one-hot);
-    dc_ref: (CHUNK, 1) the same digits (column layout, feeds the lo
+    dr_ref: (1, 1, CHUNK) digits (row layout, feeds the hi one-hot);
+    dc_ref: (1, CHUNK, 1) the same digits (column layout, feeds the lo
     one-hot) — two host-side views of one array so both one-hots broadcast
     against an iota without any in-kernel transpose."""
     h = acc.shape[0]
@@ -87,8 +87,8 @@ def _hist_kernel(dr_ref, dc_ref, o_ref, acc):
     def _():
         acc[...] = jnp.zeros(acc.shape, jnp.int32)
 
-    hi = (dr_ref[...] >> jnp.uint32(8)).astype(jnp.int32)   # (1, CHUNK)
-    lo = (dc_ref[...] & jnp.uint32(0xFF)).astype(jnp.int32)  # (CHUNK, 1)
+    hi = (dr_ref[0] >> jnp.uint32(8)).astype(jnp.int32)   # (1, CHUNK)
+    lo = (dc_ref[0] & jnp.uint32(0xFF)).astype(jnp.int32)  # (CHUNK, 1)
     a_t = (hi == jax.lax.broadcasted_iota(
         jnp.int32, (h, CHUNK), 0)).astype(jnp.bfloat16)      # (H, CHUNK)
     b = (lo == jax.lax.broadcasted_iota(
@@ -111,15 +111,18 @@ def digit_hist_pallas(digits, m: int, interpret: bool = False):
     assert n % CHUNK == 0, n
     h = -(-_nhi(m) // 8) * 8  # sublane-align the hi axis
     steps = n // CHUNK
-    dr = digits.reshape(steps, CHUNK)
-    dc = digits.reshape(steps * CHUNK, 1)
+    # 3-D layouts whose TRAILING TWO dims equal the block's (Mosaic requires
+    # the last two block dims divisible by (8, 128) or equal to the array's;
+    # leading dims may be blocked by 1 freely).
+    dr = digits.reshape(steps, 1, CHUNK)
+    dc = digits.reshape(steps, CHUNK, 1)
     out = pl.pallas_call(
         _hist_kernel,
         grid=(steps,),
         in_specs=[
-            pl.BlockSpec((1, CHUNK), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, CHUNK), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, CHUNK, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((h, 256), lambda i: (0, 0),
