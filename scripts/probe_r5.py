@@ -90,7 +90,8 @@ def main() -> int:
                     from tpu_msm.ops import hist
                     s = hist.segment_starts_hist_pallas(d, m).astype(
                         jnp.uint32)
-                acc = acc + s.sum()
+                wq = jnp.arange(1, m + 1, dtype=jnp.uint32)
+                acc = acc + (s * wq).sum()  # order-dependent (see below)
             return acc
         return f
 
@@ -122,6 +123,13 @@ def main() -> int:
     lanes = 4096
     steps = n // lanes
 
+    # Position-weighted checksums: a plain .sum() over a sorted/gathered
+    # array is permutation-INVARIANT, so XLA eliminates the whole sort as
+    # dead code (first warm run measured the 17-operand sort at ~0 ms
+    # marginal). Multiplying by the position index makes the reduction
+    # order-dependent; the extra n mul+adds are noise at this scale.
+    wpos = jnp.arange(1 << args.log_size, dtype=jnp.uint32)
+
     def sort_prog(kind, k):
         @jax.jit
         def f():
@@ -130,11 +138,12 @@ def main() -> int:
                 d = digits ^ (acc & jnp.uint32(1))  # defeat cross-rep CSE
                 if kind == "payload17":
                     out = jax.lax.sort([d] + ops, num_keys=1)
-                    acc = acc + out[1].sum() + out[16].sum()
+                    acc = acc + (out[1] * wpos).sum() + (out[16] * wpos).sum()
                 elif kind == "sort2":
                     sd, si = jax.lax.sort_key_val(
                         d, jnp.arange(n, dtype=jnp.int32))
-                    acc = acc + sd.sum() + si.sum().astype(jnp.uint32)
+                    acc = acc + (sd * wpos).sum() + (
+                        si.astype(jnp.uint32) * wpos).sum()
                 else:  # rank_full: sort2 + row gather + kernel-layout moveaxis
                     sd, si = jax.lax.sort_key_val(
                         d, jnp.arange(n, dtype=jnp.int32))
@@ -146,7 +155,8 @@ def main() -> int:
                     g = jnp.take(rows_t, si, axis=0).T   # (16, n)
                     gt = g.reshape(16, lanes, steps)
                     sg = jnp.moveaxis(gt, 1, 2)          # (16, steps, lanes)
-                    acc = acc + sg.sum() + sd.sum()
+                    acc = acc + (sg * wpos.reshape(1, steps, lanes)).sum() \
+                        + (sd * wpos).sum()
             return acc
         return f
 
