@@ -18,6 +18,7 @@ the mesh, so results are bit-identical for any chip count.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -118,6 +119,15 @@ def make_sharded_msm(mesh: Mesh, cfg: MsmConfig, axis: str = "data",
     gather_tree must lower, and a deliberately-unreplicated output must be
     rejected at trace time.
     """
+    # Resolve backend="auto" against the MESH's platform, not the process
+    # default backend: a virtual CPU mesh on a TPU-attached host would
+    # otherwise resolve to "pallas" and fail to lower (Pallas kernels are
+    # TPU-only; caught by the r5 full-tier sharded chunk). An explicit
+    # backend is respected as given.
+    if cfg.backend == "auto":
+        plat = next(iter(mesh.devices.flat)).platform
+        cfg = dataclasses.replace(
+            cfg, backend="pallas" if plat == "tpu" else "jnp")
     axis_size = mesh.shape[axis]
     local = jax.shard_map(
         functools.partial(_local_window_sums, cfg=cfg),

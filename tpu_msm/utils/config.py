@@ -138,6 +138,14 @@ def resolve_backend(backend: str) -> str:
         return backend
     import jax
 
+    # Honor an active jax.default_device(...) context: computations placed
+    # on a CPU device must use the jnp ops even when a TPU backend exists
+    # in the process (jax.default_backend() ignores the context — measured
+    # on the axon host, r5; Pallas kernels are TPU-only).
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        plat = getattr(dd, "platform", str(dd))
+        return "jnp" if plat == "cpu" else "pallas"
     return "jnp" if jax.default_backend() == "cpu" else "pallas"
 
 
