@@ -22,6 +22,7 @@ step() {  # step <name> <timeout-s> <cmd...>
 step probe_r5          3600 python scripts/probe_r5.py --log-size 20
 step kernel_check_r5   3600 python -m tpu_msm.cli.profiler --check-kernels
 step tune_r5_20        7200 python scripts/tune_r5.py 20
+step tune_r5_20b       7200 python scripts/tune_r5.py 20b
 step bench_log20_r5    3600 python bench.py --log-size 20
 # e2e differential gate for whatever config the sweep just promoted:
 # device result must equal the native C++ engine's (profiler 'check' mode).

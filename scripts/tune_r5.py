@@ -33,6 +33,15 @@ PHASES = {
                 "sort_impl": ["rank"]}),
         ([20], {**BASE20, "segment_starts": ["hist"], "glv": [True]}),
     ],
+    # Refinement around the hist winner: with the searchsorted stage gone
+    # the lanes/step-batch balance may shift (the r3 4096-lane verdict was
+    # measured under ss_scan's gather pressure).
+    "20b": [
+        ([20], {**BASE20, "scan_lanes": [8192], "reduce_fanout": [4096],
+                "segment_starts": ["hist"]}),
+        ([20], {**BASE20, "segment_starts": ["hist"],
+                "scan_step_batch": [4]}),
+    ],
     # Mid band: first measured rows at 17/18/19 (glv on/off x hist).
     "band": [
         ([18], {**BASE20, "segment_starts": ["hist"],

@@ -16,6 +16,7 @@ run() { echo "=== warm $1 ($(date +%H:%M:%S))"; timeout "$2" "${@:3}" \
 run probe    5400 python scripts/probe_r5.py --log-size 20
 run kernels  3600 python -m tpu_msm.cli.profiler --check-kernels
 run tune20  12000 python scripts/tune_r5.py 20
+run tune20b 12000 python scripts/tune_r5.py 20b
 run mid      9000 python scripts/tune_r5.py mid
 run band    16200 python scripts/tune_r5.py band
 run tune22  12000 python scripts/tune_r5.py 22
