@@ -27,6 +27,7 @@ step bench_log20_r5    3600 python bench.py --log-size 20
 # e2e differential gate for whatever config the sweep just promoted:
 # device result must equal the native C++ engine's (profiler 'check' mode).
 step check_e2e_20      3600 python -m tpu_msm.cli.profiler 20 1 check
+step trace_log20_r5    3600 python scripts/trace_log20.py
 step tune_r5_mid       5400 python scripts/tune_r5.py mid
 step tune_r5_band     10800 python scripts/tune_r5.py band
 step check_e2e_18      3600 python -m tpu_msm.cli.profiler 18 1 check
