@@ -66,13 +66,17 @@ def main() -> int:
                           .astype(np.uint32)) for _ in range(16)]
     jax.block_until_ready([digits, sorted_digits] + ops)
 
-    # --- segment starts: k repetitions inside one jit (marginal = per-call)
+    # --- segment starts: k repetitions inside one jit (marginal = per-call).
+    # Inputs are passed as jit ARGUMENTS: closed-over device arrays trace as
+    # jaxpr constants and XLA constant-folds whole stages at compile time
+    # (first clean run measured the 17-operand sort at x1 BELOW the RTT
+    # floor — nothing ran at runtime).
     def starts_prog(kind, k):
         @jax.jit
-        def f():
+        def f_(d_in):
             acc = jnp.uint32(0)
             for i in range(k):
-                d = (sorted_digits if kind.startswith("ss") else digits)
+                d = d_in
                 # acc-dependent xor defeats CSE across the k repetitions
                 # (timing only; the correctness check below runs separately)
                 d = d ^ (acc & jnp.uint32(1))
@@ -93,7 +97,8 @@ def main() -> int:
                 wq = jnp.arange(1, m + 1, dtype=jnp.uint32)
                 acc = acc + (s * wq).sum()  # order-dependent (see below)
             return acc
-        return f
+        d_arg = sorted_digits if kind.startswith("ss") else digits
+        return lambda: f_(d_arg)
 
     for kind in ("ss_scan", "bincount", "hist_jnp", "hist_pallas"):
         try:
@@ -132,12 +137,12 @@ def main() -> int:
 
     def sort_prog(kind, k):
         @jax.jit
-        def f():
+        def f_(d_in, *ops_in):
             acc = jnp.uint32(0)
             for i in range(k):
-                d = digits ^ (acc & jnp.uint32(1))  # defeat cross-rep CSE
+                d = d_in ^ (acc & jnp.uint32(1))  # defeat cross-rep CSE
                 if kind == "payload17":
-                    out = jax.lax.sort([d] + ops, num_keys=1)
+                    out = jax.lax.sort([d] + list(ops_in), num_keys=1)
                     acc = acc + (out[1] * wpos).sum() + (out[16] * wpos).sum()
                 elif kind == "sort2":
                     sd, si = jax.lax.sort_key_val(
@@ -151,14 +156,14 @@ def main() -> int:
                     # (the pipeline's per-window select+transpose cost) is
                     # not hoisted out of the k repetitions
                     rows_t = jnp.stack(
-                        [o ^ (acc & jnp.uint32(1)) for o in ops], axis=1)
+                        [o ^ (acc & jnp.uint32(1)) for o in ops_in], axis=1)
                     g = jnp.take(rows_t, si, axis=0).T   # (16, n)
                     gt = g.reshape(16, lanes, steps)
                     sg = jnp.moveaxis(gt, 1, 2)          # (16, steps, lanes)
                     acc = acc + (sg * wpos.reshape(1, steps, lanes)).sum() \
                         + (sd * wpos).sum()
             return acc
-        return f
+        return lambda: f_(digits, *ops)
 
     for kind in ("payload17", "sort2", "rank_full"):
         try:
