@@ -39,15 +39,17 @@ Affine = Optional[Tuple[int, int]]
 ZERO_FILTER_THRESHOLD = 0.30
 
 # Below this size the adaptive dispatcher uses the native C++ host engine
-# instead of the device. MEASURED crossover (artifacts/crossover.log,
-# scripts/crossover.py, real v5e + this host's native engine): native wins
-# at 2^12 (55 vs 118 ms) and 2^13 (102 vs 130 ms), the device wins from
-# 2^14 up (153 vs 210 ms, margin growing with size). The reference measured
-# its own threshold the same way (2^17 for its M-series GPU,
-# src/metal/msm.rs:440-444). Override: TPU_MSM_CPU_THRESHOLD.
+# instead of the device. MEASURED crossover, re-derived round 5 under the
+# hist/GLV tuned rows (artifacts/crossover_r5.log): the device now wins
+# from 2^12 up (70.6 vs 87.0 ms at 2^12, 57.7 vs 118.5 at 2^13, margin
+# growing with size) — r4's boundary was 2^14 before the small-size rows
+# got GLV + the MXU histogram. Below 2^12 is unmeasured; the native engine
+# keeps it (dispatch RTT alone is ~28 ms on the tunneled host). The
+# reference measured its own threshold the same way (2^17 for its M-series
+# GPU, src/metal/msm.rs:440-444). Override: TPU_MSM_CPU_THRESHOLD.
 import os as _os
 
-CPU_THRESHOLD = int(_os.environ.get("TPU_MSM_CPU_THRESHOLD", 1 << 14))
+CPU_THRESHOLD = int(_os.environ.get("TPU_MSM_CPU_THRESHOLD", 1 << 12))
 
 # Above this size the dispatcher runs the streaming (chunked) pipeline
 # (ops/streaming.py) instead of the one-graph fused pipeline: the fused

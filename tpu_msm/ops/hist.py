@@ -137,3 +137,58 @@ def digit_hist_pallas(digits, m: int, interpret: bool = False):
 def segment_starts_hist_pallas(digits, m: int, interpret: bool = False):
     """Fused-kernel variant of segment_starts_hist (n % 2048 == 0)."""
     return _counts_to_starts(digit_hist_pallas(digits, m, interpret), m)
+
+
+def _hist_kernel2(dr_ref, o_ref, acc):
+    """Row-layout-only variant: both one-hots build from the (1, CHUNK) row
+    and the dot contracts on the SHARED chunk axis (A^T at (H, CHUNK) times
+    B^T at (256, CHUNK), contracting dim 1 with dim 1 — a transposed-RHS
+    matmul the MXU handles natively). Removes the (steps, CHUNK, 1) column
+    input whose T(8,128)-tiled relayout cost 0.82 ms/window at 2^20 — more
+    than the kernel itself (trace r5: reshape.4538, hist.py dc view)."""
+    h = acc.shape[0]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        acc[...] = jnp.zeros(acc.shape, jnp.int32)
+
+    d = dr_ref[0].astype(jnp.int32)                        # (1, CHUNK)
+    a_t = ((d >> 8) == jax.lax.broadcasted_iota(
+        jnp.int32, (h, CHUNK), 0)).astype(jnp.bfloat16)    # (H, CHUNK)
+    b_t = ((d & 255) == jax.lax.broadcasted_iota(
+        jnp.int32, (256, CHUNK), 0)).astype(jnp.bfloat16)  # (256, CHUNK)
+    part = jax.lax.dot_general(
+        a_t, b_t, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc[...] += part.astype(jnp.int32)
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _():
+        o_ref[...] = acc[...]
+
+
+@functools.partial(jax.jit, static_argnames=("m", "interpret"))
+def digit_hist_pallas2(digits, m: int, interpret: bool = False):
+    """Row-input-only digit histogram (see _hist_kernel2)."""
+    n = digits.shape[0]
+    assert n % CHUNK == 0, n
+    h = -(-_nhi(m) // 8) * 8
+    steps = n // CHUNK
+    dr = digits.reshape(steps, 1, CHUNK)
+    out = pl.pallas_call(
+        _hist_kernel2,
+        grid=(steps,),
+        in_specs=[pl.BlockSpec((1, 1, CHUNK), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((h, 256), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, 256), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((h, 256), jnp.int32)],
+        interpret=interpret,
+    )(dr)
+    return out.reshape(-1)
+
+
+def segment_starts_hist_pallas2(digits, m: int, interpret: bool = False):
+    """Row-input variant of segment_starts_hist_pallas."""
+    return _counts_to_starts(digit_hist_pallas2(digits, m, interpret), m)
