@@ -33,9 +33,10 @@ def test_hist_starts_match_oracle(rng, m, n):
     got = np.asarray(hist.segment_starts_hist(jnp.asarray(digits), m))
     assert (got == ref).all()
     if n % hist.CHUNK == 0:
-        got_p = np.asarray(hist.segment_starts_hist_pallas(
-            jnp.asarray(digits), m, interpret=True))
-        assert (got_p == ref).all()
+        for fn in (hist.segment_starts_hist_pallas,
+                   hist.segment_starts_hist_pallas2):
+            got_p = np.asarray(fn(jnp.asarray(digits), m, interpret=True))
+            assert (got_p == ref).all()
 
 
 @pytest.mark.parametrize("fill", [0, "sentinel", "max_digit"])
@@ -47,6 +48,8 @@ def test_hist_starts_degenerate(fill):
     ref = _oracle_starts(digits, m)
     for f in (hist.segment_starts_hist,
               lambda d, mm: hist.segment_starts_hist_pallas(
+                  d, mm, interpret=True),
+              lambda d, mm: hist.segment_starts_hist_pallas2(
                   d, mm, interpret=True)):
         assert (np.asarray(f(jnp.asarray(digits), m)) == ref).all()
 

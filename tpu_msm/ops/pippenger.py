@@ -227,14 +227,22 @@ def _segment_starts(sorted_digits, m: int, cfg: MsmConfig):
     rounds measured ~10 ms/window at 2^20, docs/PERF_NOTES.md), level 2
     gathers each query's 64-wide candidate block once and counts < b
     vectorized; exact because samples[j-1] < b <= samples[j] brackets s_b
-    into ((j-1)*64, j*64] on a sorted array; or the MXU histogram ('hist',
-    ops/hist.py — one-hot matmul + cumsum, zero gathers/scatters; the only
-    strategy that does NOT need the digits sorted)."""
-    if cfg.segment_starts == "hist":
+    into ((j-1)*64, j*64] on a sorted array; or the MXU histogram ('hist' /
+    'hist_cols', ops/hist.py — one-hot matmul + cumsum, zero gathers/
+    scatters; the only strategy that does NOT need the digits sorted).
+    'hist' is the row-input kernel (digit_hist_pallas2): both one-hots
+    build from the (1, CHUNK) row and the dot contracts chunk-dim against
+    chunk-dim, so the pipeline feeds it ONE (steps, 1, CHUNK) view — the
+    r5 trace showed the two-view variant's (steps, CHUNK, 1) column input
+    costing 0.82 ms/window of T(8,128) relayout (reshape.4538), more than
+    the kernel itself; 'hist_cols' keeps that two-view kernel for A/B."""
+    if cfg.segment_starts in ("hist", "hist_cols"):
         from tpu_msm.ops import hist
 
         if (cfg.backend == "pallas"
                 and sorted_digits.shape[0] % hist.CHUNK == 0):
+            if cfg.segment_starts == "hist":
+                return hist.segment_starts_hist_pallas2(sorted_digits, m)
             return hist.segment_starts_hist_pallas(sorted_digits, m)
         return hist.segment_starts_hist(sorted_digits, m)
     if cfg.segment_starts == "bincount":
@@ -325,7 +333,15 @@ def _window_heavy(digits_negm, ppx, ppy, n: int, cfg: MsmConfig):
                        step_batch=cfg.scan_step_batch),
                    "mxu": pc.scan_madd_packed_u16_mxu}.get(
                        cfg.field_impl, pc.scan_madd_packed_u16)
-    ys48 = scan_kernel(sgx, sgy).reshape(48, steps, lanes)
+    # Keep ys48 FLAT (48, steps*lanes) and index it with one fused flat
+    # index instead of the logical (48, steps, lanes)[:, kq, lq] gather:
+    # the r5 trace showed XLA feeding the 3-D gather through a
+    # {2,1,0}->{2,0,1} relayout copy of the whole 400 MB array
+    # (copy.3696 + reshape.4537, ~19.6 ms of the 375 ms e2e at 2^20).
+    # The flat view leaves the scan kernel's native row-major layout in
+    # place; position p's (step k, lane l) prefix lives at column
+    # k*lanes + l.
+    ys48 = scan_kernel(sgx, sgy).reshape(48, steps * lanes)
 
     # 'hist' is order-free: feed the UNSORTED digits so the starts
     # computation has no data dependency on the sort at all.
@@ -341,8 +357,8 @@ def _window_heavy(digits_negm, ppx, ppy, n: int, cfg: MsmConfig):
     pos = jnp.maximum(queries, 1) - 1
     lq = (pos // steps).astype(jnp.int32)
     kq = (pos % steps).astype(jnp.int32)
-    loc48 = ys48[:, kq, lq]        # (48, Q) local prefix at each query
-    totals = ys48[:, -1, :]        # (48, lanes) per-lane window totals
+    loc48 = ys48[:, kq * lanes + lq]       # (48, Q) prefix at each query
+    totals = ys48[:, (steps - 1) * lanes:]  # (48, lanes) lane totals
     return totals, loc48, lq, is_zero
 
 

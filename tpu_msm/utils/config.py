@@ -67,7 +67,12 @@ class MsmConfig:
     #   "ss_2level" — two-level search (measured rejection, kept in-tree)
     #   "hist"      — MXU histogram (one-hot matmul) + cumsum: zero gathers,
     #                 zero scatters, order-free so it runs off the sort's
-    #                 critical path (ops/hist.py; the r5 default on TPU)
+    #                 critical path (ops/hist.py; the r5 default on TPU).
+    #                 Row-input kernel (digit_hist_pallas2): one (1, CHUNK)
+    #                 view, dot contracts chunk-dim x chunk-dim.
+    #   "hist_cols" — the two-view histogram kernel (row + column digit
+    #                 layouts); kept for A/B — its (steps, CHUNK, 1) input
+    #                 costs a T(8,128) relayout the row kernel avoids
     # All are exact (the reference binary-searches per threadgroup,
     # msm.h.metal:119-131); which is fastest on TPU depends on how XLA
     # lowers scatter vs gather-loop vs sort vs dot — an autotune decision.
@@ -118,7 +123,7 @@ class MsmConfig:
             raise ValueError(
                 f"scan_step_batch must be >= 1, got {self.scan_step_batch}")
         if self.segment_starts not in ("bincount", "ss_scan", "ss_sort",
-                                       "ss_2level", "hist"):
+                                       "ss_2level", "hist", "hist_cols"):
             raise ValueError(f"unknown segment_starts {self.segment_starts!r}")
         if self.sort_impl not in ("payload", "rank"):
             raise ValueError(f"unknown sort_impl {self.sort_impl!r}")
